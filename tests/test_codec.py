@@ -1,0 +1,83 @@
+"""Round-trip tests for the postings block codec (FIXTURES.md §4; geometry
+from /root/reference/src/core/codec/postings/posting_format.rs:36 and
+for_util.rs:29,187-245)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rucene_spark.codec import (
+    BLOCK_SIZE,
+    delta_decode,
+    delta_encode,
+    for_decode,
+    for_encode,
+    pack_ints,
+    pack_positions,
+    unpack_ints,
+    unpack_positions,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_block_size_matches_reference():
+    assert BLOCK_SIZE == 128  # posting_format.rs:36
+
+
+def test_varint_roundtrip_spot():
+    vals = np.array([0, 1, 127, 128, 255, 300, 2**20, 2**35, 2**53], dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals), len(vals)) == vals).all()
+
+
+@settings(max_examples=100)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
+def test_varint_roundtrip_fuzz(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr), len(arr)) == arr).all()
+
+
+def test_for_all_values_equal_path():
+    # for_util.rs:29 ALL_VALUES_EQUAL → header 0 + single vint
+    block = np.full(BLOCK_SIZE, 42, dtype=np.uint64)
+    enc = for_encode(block)
+    assert enc[0] == 0 and len(enc) == 2
+    assert (for_decode(enc) == block).all()
+
+
+@settings(max_examples=60)
+@given(st.integers(min_value=1, max_value=2**30))
+def test_for_roundtrip_fuzz(maxval):
+    rng = np.random.default_rng(maxval)
+    block = rng.integers(0, maxval + 1, BLOCK_SIZE).astype(np.uint64)
+    assert (for_decode(for_encode(block)) == block).all()
+
+
+def test_pack_ints_tail_and_block():
+    tail = np.arange(17, dtype=np.uint64) * 3
+    assert (unpack_ints(pack_ints(tail), 17) == tail).all()
+    full = np.arange(BLOCK_SIZE, dtype=np.uint64) + 5
+    assert (unpack_ints(pack_ints(full), BLOCK_SIZE) == full).all()
+
+
+def test_delta_roundtrip():
+    docs = np.array([3, 9, 10, 400, 100000], dtype=np.uint64)
+    assert (delta_decode(delta_encode(docs)) == docs).all()
+
+
+def test_positions_roundtrip():
+    # three docs with tfs 3, 1, 4
+    pos_lists = [np.array([2, 7, 30]), np.array([0]), np.array([1, 2, 3, 900])]
+    tfs = np.array([3, 1, 4])
+    buf = pack_positions(np.concatenate(pos_lists), tfs)
+    out = unpack_positions(buf, tfs)
+    for got, want in zip(out, pos_lists):
+        assert (got == want).all()
+
+
+def test_positions_with_zero_tf_docs():
+    pos_lists = [np.array([5, 6]), np.array([], dtype=np.int64), np.array([9])]
+    tfs = np.array([2, 0, 1])
+    buf = pack_positions(np.concatenate(pos_lists), tfs)
+    out = unpack_positions(buf, tfs)
+    assert (out[0] == [5, 6]).all() and out[1].size == 0 and (out[2] == [9]).all()
