@@ -1,0 +1,250 @@
+"""Phrase-frequency kernels, shared by the Spark searcher and the oracle.
+
+Ported from the reference scorers
+(``/root/reference/src/core/search/scorer/phrase_scorer.rs``):
+
+* :func:`exact_phrase_freq` — ``ExactPhraseScorer::phrase_freq``
+  (``:179-229``): number of positions where every term ``i`` of the phrase
+  occurs at ``p + offset_i``.  With strictly-ascending per-doc position lists
+  this equals the size of the intersection of the shifted position sets.
+* :func:`sloppy_phrase_freq` — ``SloppyPhraseScorer::phrase_freq``
+  (``:537-575``) including repeat-group handling for phrases that repeat a
+  term (``:587-792,807-916``).  The multi-term-postings branch is omitted:
+  our ``PhraseQuery`` has exactly one term per position, so
+  ``has_multi_term_rpts`` can never be true (``repeating_pps``, ``:947-961``).
+  Matches accumulate ``1/(distance+1)`` in float32
+  (``bm25_similarity.rs:65-67``), preserving the reference's documented
+  greedy asymmetries (e.g. "a b c"~4 vs "c b a"~4 on doc "a b c b a").
+
+Inputs are per-document position arrays — the searcher calls these on the
+small candidate set that survives the conjunction join, never on full
+posting lists.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+def exact_phrase_freq(pos_lists: list[np.ndarray], offsets: list[int]) -> int:
+    """Count exact-phrase occurrences given each term's in-doc positions."""
+    acc = np.asarray(pos_lists[0], dtype=np.int64) - offsets[0]
+    for pl, off in zip(pos_lists[1:], offsets[1:]):
+        if acc.size == 0:
+            return 0
+        acc = np.intersect1d(acc, np.asarray(pl, dtype=np.int64) - off, assume_unique=True)
+    return int(acc.size)
+
+
+class _PP:
+    """PhrasePositions (phrase_scorer.rs:319-377): ``position`` is the raw
+    in-doc position minus the phrase offset, so aligned terms compare equal."""
+
+    __slots__ = ("positions", "idx", "position", "count", "offset", "ord",
+                 "rpt_group", "rpt_ind", "term")
+
+    def __init__(self, positions: np.ndarray, offset: int, ord_: int, term: str):
+        self.positions = positions
+        self.idx = 0
+        self.position = 0
+        self.count = 0
+        self.offset = offset
+        self.ord = ord_
+        self.rpt_group = -1
+        self.rpt_ind = 0
+        self.term = term
+
+    def first_position(self) -> None:
+        self.count = len(self.positions)
+        self.idx = 0
+        self.next_position()
+
+    def next_position(self) -> bool:
+        if self.count > 0:
+            self.count -= 1
+            self.position = int(self.positions[self.idx]) - self.offset
+            self.idx += 1
+            return True
+        return False
+
+
+def sloppy_phrase_freq(
+    pos_lists: list[np.ndarray],
+    offsets: list[int],
+    terms: list[str],
+    slop: int,
+) -> np.float32:
+    """Sloppy phrase freq for one candidate document (all terms present)."""
+    pps = [_PP(np.asarray(p, dtype=np.int64), off, i, t)
+           for i, (p, off, t) in enumerate(zip(pos_lists, offsets, terms))]
+    scorer = _SloppyFreq(pps, slop)
+    return scorer.phrase_freq()
+
+
+class _SloppyFreq:
+    def __init__(self, pps: list[_PP], slop: int):
+        self.pps = pps
+        self.slop = slop
+        self.pq: list[tuple[int, int, int, int]] = []  # (position, offset, ord, idx)
+        self.end = -(2**31)
+        self.has_rpts = False
+        self.rpt_group: list[list[int]] = []
+        self.rpt_stack: list[int] = []
+
+    # -- heap helpers; entries are snapshots, pps in the heap never mutate --
+    def _push(self, idx: int) -> None:
+        pp = self.pps[idx]
+        heapq.heappush(self.pq, (pp.position, pp.offset, pp.ord, idx))
+
+    def _pop(self) -> int:
+        return heapq.heappop(self.pq)[3]
+
+    def phrase_freq(self) -> np.float32:
+        # init_phrase_positions (:587-597) — per-doc evaluation always does
+        # the "first time" init since repeats are a property of the query.
+        if not self._init_first_time():
+            return np.float32(0.0)
+        freq = np.float32(0.0)
+        pp_idx = self._pop()
+        match_length = self.end - self.pps[pp_idx].position
+        next_pos = self.pq[0][0]
+        while self._advance_pp(pp_idx):
+            if self.has_rpts and not self._advance_rpts(pp_idx):
+                break
+            if self.pps[pp_idx].position > next_pos:
+                if match_length <= self.slop:
+                    freq = np.float32(
+                        freq + np.float32(1.0) / np.float32(match_length + 1.0)
+                    )
+                self._push(pp_idx)
+                pp_idx = self._pop()
+                next_pos = self.pq[0][0]
+                match_length = self.end - self.pps[pp_idx].position
+            else:
+                match_length = min(
+                    match_length, self.end - self.pps[pp_idx].position
+                )
+        if match_length <= self.slop:
+            freq = np.float32(freq + np.float32(1.0) / np.float32(match_length + 1.0))
+        return freq
+
+    def _advance_pp(self, idx: int) -> bool:
+        # phrase_scorer.rs:634-643
+        if not self.pps[idx].next_position():
+            return False
+        if self.pps[idx].position > self.end:
+            self.end = self.pps[idx].position
+        return True
+
+    def _init_first_time(self) -> bool:
+        # phrase_scorer.rs:807-824 (single-term postings branch only)
+        self.end = -(2**31)
+        for pp in self.pps:
+            pp.first_position()
+        counts: dict[str, int] = {}
+        for pp in self.pps:
+            counts[pp.term] = counts.get(pp.term, 0) + 1
+        rpt_terms = {t for t, c in counts.items() if c >= 2}
+        self.has_rpts = bool(rpt_terms)
+        if self.has_rpts:
+            self.rpt_stack = [0] * len(self.pps)
+            rpp = [i for i, pp in enumerate(self.pps) if pp.term in rpt_terms]
+            self._gather_rpt_groups(rpp)
+            if not self._advance_repeat_groups():
+                return False
+        self._fill_queue()
+        return True
+
+    def _gather_rpt_groups(self, rpp: list[int]) -> None:
+        # phrase_scorer.rs:852-880 — group pps that collide in the first doc
+        res: list[list[int]] = []
+        for i, idx1 in enumerate(rpp):
+            if self.pps[idx1].rpt_group >= 0:
+                continue
+            tp1 = self.pps[idx1].position + self.pps[idx1].offset
+            for idx2 in rpp[i + 1:]:
+                pp2 = self.pps[idx2]
+                if (
+                    pp2.rpt_group >= 0
+                    or pp2.offset == self.pps[idx1].offset
+                    or pp2.position + pp2.offset != tp1
+                ):
+                    continue
+                g = self.pps[idx1].rpt_group
+                if g < 0:
+                    g = len(res)
+                    self.pps[idx1].rpt_group = g
+                    res.append([idx1])
+                pp2.rpt_group = g
+                res[g].append(idx2)
+        # sort_rpt_groups (:828-841)
+        for rg in res:
+            rg.sort(key=lambda i: self.pps[i].offset)
+            for j, idx in enumerate(rg):
+                self.pps[idx].rpt_ind = j
+            self.rpt_group.append(rg)
+
+    def _advance_repeat_groups(self) -> bool:
+        # phrase_scorer.rs:780-789 (no-multi-term branch): j-th pp advances j times
+        for rg in self.rpt_group:
+            for j in range(1, len(rg)):
+                for _ in range(j):
+                    if not self.pps[rg[j]].next_position():
+                        return False
+        return True
+
+    def _fill_queue(self) -> None:
+        self.pq = []
+        for idx, pp in enumerate(self.pps):
+            if pp.position > self.end:
+                self.end = pp.position
+            self._push(idx)
+
+    def _lesser(self, a: int, b: int) -> int:
+        pa, pb = self.pps[a], self.pps[b]
+        if pa.position < pb.position or (
+            pa.position == pb.position and pa.offset < pb.offset
+        ):
+            return a
+        return b
+
+    def _collide(self, idx: int) -> int:
+        pp = self.pps[idx]
+        tp = pp.position + pp.offset
+        for j in self.rpt_group[pp.rpt_group]:
+            pp2 = self.pps[j]
+            if j != idx and pp2.position + pp2.offset == tp:
+                return pp2.rpt_ind
+        return -1
+
+    def _advance_rpts(self, idx: int) -> bool:
+        # phrase_scorer.rs:648-701
+        pp = self.pps[idx]
+        if pp.rpt_group < 0:
+            return True
+        bits = set()
+        k0 = pp.rpt_ind
+        cur = idx
+        while True:
+            k = self._collide(cur)
+            if k < 0:
+                break
+            cur = self._lesser(cur, self.rpt_group[pp.rpt_group][k])
+            if not self._advance_pp(cur):
+                return False
+            if k != k0:
+                bits.add(k)
+        # re-queue: drain until all advanced pps have left the heap
+        n = 0
+        while bits:
+            pp2_idx = self._pop()
+            self.rpt_stack[n] = pp2_idx
+            n += 1
+            pp2 = self.pps[pp2_idx]
+            if pp2.rpt_group >= 0 and pp2.rpt_ind in bits:
+                bits.discard(pp2.rpt_ind)
+        for i in range(n):
+            self._push(self.rpt_stack[n - 1 - i])
+        return True

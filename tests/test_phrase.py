@@ -1,0 +1,79 @@
+"""Phrase-freq kernel tests. Expectations derive from the reference's own
+doc-comments and algorithm (phrase_scorer.rs:521-575 docstring examples)."""
+
+import numpy as np
+import pytest
+
+from rucene_spark.phrase import exact_phrase_freq, sloppy_phrase_freq
+
+
+def positions_of(doc: str) -> dict[str, np.ndarray]:
+    toks = doc.split()
+    out: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        out.setdefault(t, []).append(i)
+    return {k: np.array(v) for k, v in out.items()}
+
+
+def phrase_inputs(doc: str, phrase: list[str]):
+    p = positions_of(doc)
+    return [p[t] for t in phrase], list(range(len(phrase))), phrase
+
+
+def test_exact_simple():
+    pls, offs, _ = phrase_inputs("the quick brown fox the quick fox", ["the", "quick"])
+    assert exact_phrase_freq(pls, offs) == 2
+    pls, offs, _ = phrase_inputs("a b c a b c a b", ["a", "b", "c"])
+    assert exact_phrase_freq(pls, offs) == 2
+
+
+def test_exact_no_match_when_gap():
+    pls, offs, _ = phrase_inputs("a x b", ["a", "b"])
+    assert exact_phrase_freq(pls, offs) == 0
+
+
+def test_sloppy_docstring_example():
+    # phrase_scorer.rs:526-528: for "a b"~2, doc "x a b a y" scores twice —
+    # "a b" at distance 0 and "b a" at distance 2 → 1/1 + 1/3
+    pls, offs, terms = phrase_inputs("x a b a y", ["a", "b"])
+    freq = sloppy_phrase_freq(pls, offs, terms, slop=2)
+    assert freq == pytest.approx(1.0 + 1.0 / 3.0, abs=1e-6)
+
+
+def test_sloppy_zero_slop_equals_exact():
+    for doc in ["a b a b", "x a b y a b", "a a b b"]:
+        pls, offs, terms = phrase_inputs(doc, ["a", "b"])
+        exact = exact_phrase_freq(pls, offs)
+        freq = sloppy_phrase_freq(pls, offs, terms, slop=0)
+        assert freq == pytest.approx(float(exact)), doc
+
+
+def test_sloppy_greedy_asymmetry():
+    # phrase_scorer.rs:531-533: doc "a b c b a" scores "a b c"~4 and
+    # "c b a"~4 differently (greedy min-advance) — just pin both are > 0
+    # and unequal, as documented.
+    doc = "a b c b a"
+    pls1, offs1, t1 = phrase_inputs(doc, ["a", "b", "c"])
+    pls2, offs2, t2 = phrase_inputs(doc, ["c", "b", "a"])
+    f1 = sloppy_phrase_freq(pls1, offs1, t1, slop=4)
+    f2 = sloppy_phrase_freq(pls2, offs2, t2, slop=4)
+    assert f1 > 0 and f2 > 0 and f1 != f2
+
+
+def test_sloppy_with_repeated_term():
+    # "ho my my"~2 on "ho my my" must match (repeat-group init: 2nd "my"
+    # advances once past the collision)
+    pls, offs, terms = phrase_inputs("ho my my", ["ho", "my", "my"])
+    freq = sloppy_phrase_freq(pls, offs, terms, slop=2)
+    assert freq > 0
+    # and must NOT match when only one "my" exists in range
+    p = positions_of("ho my zz")
+    with_one = [p["ho"], p["my"], p["my"]]
+    freq = sloppy_phrase_freq(with_one, [0, 1, 2], ["ho", "my", "my"], slop=2)
+    assert freq == 0.0
+
+
+def test_sloppy_beyond_slop_no_match():
+    pls, offs, terms = phrase_inputs("a x x x x b", ["a", "b"])
+    assert sloppy_phrase_freq(pls, offs, terms, slop=3) == 0.0
+    assert sloppy_phrase_freq(pls, offs, terms, slop=4) > 0.0
