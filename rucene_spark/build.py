@@ -1,0 +1,390 @@
+"""Distributed inverted-index build — the Spark-native ``IndexWriter``.
+
+Dataflow (the Spark re-expression of rucene's build pipeline, SURVEY.md §3.1):
+
+    source df ──(JVM crc32 / range bucketing: segment_id)──▶ shuffle by segment
+      ──▶ applyInPandas per segment: tokenize → invert → pack blocks
+            → write postings/docmeta/segstats parquet (atomic: tmp + rename,
+              done-marker last)  ──▶ manifest rows
+      ──▶ global term_stats / collection_stats aggregation (Spark job)
+      ──▶ atomic manifest.json
+
+Correspondences (reference @ /root/reference):
+
+* one Spark partition group ≡ one DWPT: per-segment doc-id assignment and
+  private in-memory inversion (doc_writer_per_thread.rs:68,380);
+* the shuffle by ``segment_id`` replaces the TermsHash
+  (terms_hash_per_field.rs:37-286) — grouping is Spark's job, numpy does the
+  per-segment invert;
+* flush → codec (posting_writer.rs:304-455) becomes FOR-128/varint packed
+  binary columns (codec.py) in per-segment Parquet, sorted by term so
+  Parquet row-group stats give blocktree-like term seeks for free;
+* tf is capped at 10 and only capped-freq positions are stored
+  (posting_writer.rs:641,649-662);
+* norms: byte315(1/sqrt(field_length)) per doc (doc_consumer.rs:813-821),
+  denormalized *into* the postings blocks (1 byte/doc) so scoring never
+  joins a norms table;
+* ``segments_N`` two-phase commit (index_writer.rs:630-640,1725-1810)
+  becomes the done-marker + manifest.json rename protocol, which also gives
+  per-partition resumability with lineage + throughput metrics (north_rule);
+* block-max metadata (max_tf, max_norm_byte per 128-doc block) is our BMW
+  addition — the reference stores skip pointers but no impact bounds
+  (skip_writer.rs:36-56; SURVEY.md §4.3).
+
+Scale posture: the only wide exchange is the one shuffle by ``segment_id``;
+global stats aggregate per-segment partials (the segment IS the salt for
+hot terms — a stopword contributes ≤ n_segments rows to the final groupBy).
+All per-row work is numpy inside Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .analysis import batch_tokenize
+from .bm25 import TERM_FREQ_LIMIT
+from .codec import BLOCK_SIZE, delta_encode, pack_ints, pack_positions
+from .smallfloat import encode_norm_value
+
+MANIFEST = "manifest.json"
+
+_MANIFEST_ROW_SCHEMA = (
+    "segment_id long, status string, docs long, terms long, blocks long, "
+    "postings long, build_secs double, min_key string, max_key string"
+)
+
+_POSTINGS_PA_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("block_id", pa.int32()),
+        ("num_docs", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("max_norm_byte", pa.int32()),
+        ("docs_bin", pa.binary()),
+        ("tfs_bin", pa.binary()),
+        ("norms_bin", pa.binary()),
+        ("dls_bin", pa.binary()),
+        ("pos_bin", pa.binary()),
+    ]
+)
+
+
+def _invert_segment(
+    pdf: pd.DataFrame, text_col: str, key_col: str, analyzer: str
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Pure-numpy inversion of one segment → (postings, docmeta, segstats)."""
+    pdf = pdf.sort_values(key_col, kind="stable").reset_index(drop=True)
+    texts = pdf[text_col].tolist()
+    di, terms, pos = batch_tokenize(texts, mode=analyzer)
+
+    n_docs = len(pdf)
+    lens = np.zeros(n_docs, dtype=np.int64)
+    if di.size:
+        np.add.at(lens, di, 1)
+    norm_bytes = encode_norm_value(1.0, np.maximum(lens, 1)).astype(np.int64)
+    norm_bytes[lens == 0] = 0
+
+    docmeta = pdf.drop(columns=[text_col]).copy()
+    docmeta.insert(0, "doc", np.arange(n_docs, dtype=np.int64))
+    docmeta["doc_len"] = lens
+    docmeta["norm_byte"] = norm_bytes
+
+    if di.size == 0:
+        empty = pd.DataFrame({f.name: [] for f in _POSTINGS_PA_SCHEMA})
+        stats = pd.DataFrame(
+            {"term": [], "df": [], "ttf": [], "max_tf": [], "max_norm_byte": []}
+        )
+        return empty, docmeta, stats
+
+    # invert: sort token stream by (term, doc, position); terms are
+    # factorized to sorted int codes first (object-dtype lexsort is slow)
+    codes, uniques = pd.factorize(terms, sort=True)
+    order = np.lexsort((pos, di, codes))
+    t_s, d_s, p_s = codes[order], di[order], pos[order]
+    # run starts of (term, doc) pairs
+    new_term = np.empty(t_s.size, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = t_s[1:] != t_s[:-1]
+    new_doc = np.empty(t_s.size, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = new_term[1:] | (d_s[1:] != d_s[:-1])
+    run_starts = np.flatnonzero(new_doc)
+    run_ends = np.append(run_starts[1:], t_s.size)
+    tf_raw = run_ends - run_starts
+    tf = np.minimum(tf_raw, TERM_FREQ_LIMIT)
+
+    run_term = t_s[run_starts]
+    run_doc = d_s[run_starts]
+    run_norm = norm_bytes[run_doc]
+    run_dl = lens[run_doc]
+
+    # capped position slices per (term, doc) run
+    within = np.arange(t_s.size) - np.repeat(run_starts, tf_raw)
+    keep = within < TERM_FREQ_LIMIT
+    pos_capped = p_s[keep]
+
+    # term boundaries over the runs
+    term_starts = np.flatnonzero(new_term[run_starts])
+    term_ends = np.append(term_starts[1:], run_starts.size)
+
+    pos_run_offsets = np.concatenate(([0], np.cumsum(tf)))
+
+    rows = {name: [] for name in _POSTINGS_PA_SCHEMA.names}
+    stat_terms: list[str] = []
+    stat_df: list[int] = []
+    stat_ttf: list[int] = []
+    stat_maxtf: list[int] = []
+    stat_maxnb: list[int] = []
+
+    for ts, te in zip(term_starts, term_ends):
+        term = str(uniques[run_term[ts]])
+        docs = run_doc[ts:te]
+        tfs = tf[ts:te]
+        norms = run_norm[ts:te]
+        dls = run_dl[ts:te]
+        stat_terms.append(term)
+        stat_df.append(int(te - ts))
+        stat_ttf.append(int(tfs.sum()))
+        stat_maxtf.append(int(tfs.max()))
+        stat_maxnb.append(int(norms.max()))
+        for b0 in range(0, docs.size, BLOCK_SIZE):
+            b1 = min(b0 + BLOCK_SIZE, docs.size)
+            blk_docs = docs[b0:b1].astype(np.uint64)
+            blk_tfs = tfs[b0:b1].astype(np.uint64)
+            blk_norms = norms[b0:b1].astype(np.uint64)
+            blk_dls = dls[b0:b1].astype(np.uint64)
+            p_lo = pos_run_offsets[ts + b0]
+            p_hi = pos_run_offsets[ts + b1]
+            blk_pos = pos_capped[p_lo:p_hi].astype(np.uint64)
+            rows["term"].append(term)
+            rows["block_id"].append(b0 // BLOCK_SIZE)
+            rows["num_docs"].append(b1 - b0)
+            rows["first_doc"].append(int(blk_docs[0]))
+            rows["last_doc"].append(int(blk_docs[-1]))
+            rows["max_tf"].append(int(blk_tfs.max()))
+            rows["max_norm_byte"].append(int(blk_norms.max()))
+            rows["docs_bin"].append(pack_ints(delta_encode(blk_docs)))
+            rows["tfs_bin"].append(pack_ints(blk_tfs))
+            rows["norms_bin"].append(pack_ints(blk_norms))
+            rows["dls_bin"].append(pack_ints(blk_dls))
+            rows["pos_bin"].append(pack_positions(blk_pos, blk_tfs))
+
+    postings = pd.DataFrame(rows)
+    segstats = pd.DataFrame(
+        {
+            "term": stat_terms,
+            "df": np.array(stat_df, dtype=np.int64),
+            "ttf": np.array(stat_ttf, dtype=np.int64),
+            "max_tf": np.array(stat_maxtf, dtype=np.int64),
+            "max_norm_byte": np.array(stat_maxnb, dtype=np.int64),
+        }
+    )
+    return postings, docmeta, segstats
+
+
+def _atomic_write_dir(write_fn, final_dir: str) -> None:
+    tmp = f"{final_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    write_fn(tmp)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp, final_dir)
+
+
+def _build_segment_files(
+    pdf: pd.DataFrame,
+    index_dir: str,
+    text_col: str,
+    key_col: str,
+    analyzer: str,
+) -> pd.DataFrame:
+    """applyInPandas body: build + persist one segment, return manifest row.
+
+    Resumable: if the segment's done-marker exists, the previous result is
+    returned untouched (north_rule per-partition checkpoint).
+    """
+    seg = int(pdf["segment_id"].iloc[0])
+    marker = os.path.join(index_dir, "markers", f"seg-{seg}.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return pd.DataFrame([json.loads(fh.read())])
+
+    t0 = time.time()
+    pdf = pdf.drop(columns=["segment_id"])
+    # `seg` itself is the partition directory (seg=N), not a file column
+    postings, docmeta, segstats = _invert_segment(pdf, text_col, key_col, analyzer)
+
+    _atomic_write_dir(
+        lambda d: pq.write_table(
+            pa.Table.from_pandas(postings, schema=_POSTINGS_PA_SCHEMA, preserve_index=False),
+            os.path.join(d, "part-0.parquet"),
+            row_group_size=16384,
+        ),
+        os.path.join(index_dir, "postings", f"seg={seg}"),
+    )
+    dm_table = pa.Table.from_pandas(docmeta, preserve_index=False)
+    # Spark cannot read TIMESTAMP(NANOS); downcast any ns timestamps to us
+    for i, f in enumerate(dm_table.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            dm_table = dm_table.set_column(
+                i, f.name, dm_table.column(i).cast(pa.timestamp("us", f.type.tz))
+            )
+    _atomic_write_dir(
+        lambda d: pq.write_table(dm_table, os.path.join(d, "part-0.parquet")),
+        os.path.join(index_dir, "docmeta", f"seg={seg}"),
+    )
+    _atomic_write_dir(
+        lambda d: pq.write_table(
+            pa.Table.from_pandas(segstats, preserve_index=False),
+            os.path.join(d, "part-0.parquet"),
+        ),
+        os.path.join(index_dir, "segstats", f"seg={seg}"),
+    )
+
+    keys = pdf[key_col].astype(str)
+    row = {
+        "segment_id": seg,
+        "status": "built",
+        "docs": len(pdf),
+        "terms": len(segstats),
+        "blocks": len(postings),
+        "postings": int(segstats["df"].sum()) if len(segstats) else 0,
+        "build_secs": time.time() - t0,
+        "min_key": keys.min() if len(keys) else "",
+        "max_key": keys.max() if len(keys) else "",
+    }
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    mtmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(mtmp, "w") as fh:
+        fh.write(json.dumps(row))
+    os.replace(mtmp, marker)
+    return pd.DataFrame([row])
+
+
+class IndexWriter:
+    """Builds a persistent index directory from a DataFrame of documents."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        n_segments: int = 8,
+        key_col: str = "url",
+        text_col: str = "text",
+        field: str = "text",
+        analyzer: str = "whitespace",
+        partitioner: str = "hash",
+        store_cols: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_segments = n_segments
+        self.key_col = key_col
+        self.text_col = text_col
+        self.field = field
+        self.analyzer = analyzer
+        self.partitioner = partitioner
+        self.store_cols = store_cols
+
+    def _with_segment_id(self, df: DataFrame) -> DataFrame:
+        key = F.col(self.key_col)
+        if self.partitioner == "hash":
+            # JVM-side crc32 (zlib-compatible) — no Python in this stage
+            seg = F.crc32(F.encode(key.cast("string"), "UTF-8")) % self.n_segments
+        elif self.partitioner == "range":
+            lo, hi = df.agg(F.min(key), F.max(key)).first()
+            width = int(hi) - int(lo) + 1
+            seg = ((key.cast("long") - int(lo)) * self.n_segments / width).cast("long")
+            seg = F.least(seg, F.lit(self.n_segments - 1))
+        else:
+            raise ValueError(self.partitioner)
+        return df.withColumn("segment_id", seg.cast("long"))
+
+    def build(self, df: DataFrame) -> dict:
+        os.makedirs(self.index_dir, exist_ok=True)
+        if self.store_cols is not None:
+            extra = [c for c in self.store_cols
+                     if c not in (self.key_col, self.text_col)]
+        else:
+            # default doc-values set: everything except binary payloads
+            extra = [
+                f.name for f in df.schema.fields
+                if f.name not in (self.key_col, self.text_col)
+                and f.dataType.typeName() != "binary"
+            ]
+        src = self._with_segment_id(df.select(self.key_col, self.text_col, *extra))
+
+        index_dir, text_col, key_col, analyzer = (
+            self.index_dir,
+            self.text_col,
+            self.key_col,
+            self.analyzer,
+        )
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _build_segment_files(pdf, index_dir, text_col, key_col, analyzer)
+
+        rows = (
+            src.groupBy("segment_id")
+            .applyInPandas(fn, _MANIFEST_ROW_SCHEMA)
+            .collect()
+        )
+        seg_rows = sorted((r.asDict() for r in rows), key=lambda r: r["segment_id"])
+
+        # global term/collection stats: aggregate the per-segment partials.
+        # The per-segment pre-aggregation is the skew guard: a hot term has
+        # at most n_segments partial rows entering this shuffle.
+        segstats = self.spark.read.parquet(os.path.join(self.index_dir, "segstats"))
+        term_stats = (
+            segstats.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("ttf").alias("ttf"),
+                F.max("max_tf").alias("max_tf"),
+                F.max("max_norm_byte").alias("max_norm_byte"),
+            )
+            .repartitionByRange(max(1, self.n_segments // 4), "term")
+            .sortWithinPartitions("term")
+        )
+        ts_dir = os.path.join(self.index_dir, "term_stats")
+        term_stats.write.mode("overwrite").parquet(ts_dir)
+
+        agg = self.spark.read.parquet(ts_dir).agg(F.sum("ttf")).first()
+        doc_count = int(sum(r["docs"] for r in seg_rows))
+        sum_ttf = int(agg[0] or 0)
+
+        manifest = {
+            "version": 1,
+            "field": self.field,
+            "analyzer": self.analyzer,
+            "partitioner": self.partitioner,
+            "key_col": self.key_col,
+            "n_segments": self.n_segments,
+            "doc_count": doc_count,
+            "sum_ttf": sum_ttf,
+            "segments": seg_rows,
+        }
+        mpath = os.path.join(self.index_dir, MANIFEST)
+        tmp = f"{mpath}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, mpath)
+        return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, MANIFEST)) as fh:
+        return json.load(fh)

@@ -1,0 +1,448 @@
+"""DataFrame-driven BM25 top-k searcher over a built index.
+
+The reference's scorer trees (SURVEY.md §2.5) dissolve into relational
+algebra on ``(seg, doc)``:
+
+* postings scan      → Parquet scan of ``postings/`` with ``term`` pushdown
+  (the blocktree seek becomes row-group pruning on the sorted term column);
+* TermScorer         → mapInPandas block decode + vectorized f32 BM25;
+* ConjunctionScorer  → groupBy must-count (zig-zag advance ≡ shuffle join);
+* DisjunctionSumScorer → groupBy(seg,doc) sum + min_should_match count
+  (disjunction_scorer.rs:24-104);
+* ReqNotScorer       → must_not count == 0 (req_not_scorer.rs:21);
+* Exact/SloppyPhraseScorer → conjunction join of position frames + the
+  shared phrase kernels on the candidate set (two-phase iteration:
+  cheap doc-level conjunction first, expensive position check after —
+  search/mod.rs:127-155);
+* TopDocsCollector   → ``ORDER BY score DESC, seg, doc LIMIT k``
+  (TakeOrderedAndProject = per-partition heap + merge, top_docs.rs:28-172).
+
+Scoring modes:
+
+* ``lucene``  — float32, byte315 norms, reproduces the reference kernel
+  (rank-identical to oracle.py); clause sums accumulate in f64 and cast to
+  f32 once (same documented divergence as the oracle).
+* ``precise`` — float64, exact field lengths; every formula is
+  ANSI-SQL-expressible, which is what the DuckDB correctness gate checks.
+
+Stats are global across segments; term stats for the query's terms are one
+tiny pruned scan collected to the driver (the analogue of
+``IndexSearcher``'s weight-time stats fetch, searcher.rs:690-767). All
+transcendentals (ln, the norm cache) are computed driver-side in numpy and
+shipped as literals/closures, so executor math is pure f32/f64 arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .bm25 import avgdl32, idf32, norm_cache32
+from .build import load_manifest
+from .codec import delta_decode, unpack_ints, unpack_positions
+from .phrase import exact_phrase_freq, sloppy_phrase_freq
+from .query import (
+    BooleanQuery,
+    BoostingQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    ExistsQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+)
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+
+_SCORE_SCHEMA = "seg int, doc long, score float"
+_SCORE_SCHEMA64 = "seg int, doc long, score double"
+_PHRASE_SCHEMA = "seg int, doc long, norm_byte int, dl long, positions array<long>"
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str, scoring: str = "lucene"):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.scoring = scoring
+        m = load_manifest(index_dir)
+        self.manifest = m
+        self.key_col = m["key_col"]
+        self.doc_count = m["doc_count"]
+        self.sum_ttf = m["sum_ttf"]
+        self.avgdl = avgdl32(self.sum_ttf, self.doc_count)
+        self.cache = norm_cache32(self.avgdl)
+        self.avgdl64 = (self.sum_ttf / self.doc_count) if self.sum_ttf > 0 else 1.0
+        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self._docmeta = spark.read.parquet(os.path.join(index_dir, "docmeta"))
+        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._score_t = "float" if scoring == "lucene" else "double"
+        self._score_schema = _SCORE_SCHEMA if scoring == "lucene" else _SCORE_SCHEMA64
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def search(self, query: Query, k: int = 10) -> DataFrame:
+        """Top-k by (score desc, seg asc, doc asc) joined back to doc keys."""
+        frame = self._frame(query, np.float32(1.0), needs_scores=True)
+        topk = frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
+        out = (
+            self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
+            .orderBy(F.desc("score"), "seg", "doc")
+        )
+        return out
+
+    def count(self, query: Query) -> int:
+        # count fast paths (searcher.rs:632-654): no deletes in a fresh index
+        if isinstance(query, MatchAllDocsQuery):
+            return self.doc_count
+        if isinstance(query, TermQuery):
+            stats = self._stats_for([query.term])
+            return stats.get(query.term, (0, 0))[0]
+        return self._frame(query, np.float32(1.0), needs_scores=False).count()
+
+    def search_sorted(self, query: Query, sort_cols, k: int = 10) -> DataFrame:
+        """Top-k by doc-values fields (sort_field.rs:28-110 analogue).
+
+        ``sort_cols`` are Column expressions over docmeta columns."""
+        frame = self._frame(query, np.float32(1.0), needs_scores=False)
+        joined = self._docmeta.join(frame.select("seg", "doc"), ["seg", "doc"])
+        return joined.orderBy(*sort_cols, "seg", "doc").limit(k)
+
+    def collapse(self, query: Query, group_col: str, k: int = 10) -> DataFrame:
+        """Field collapsing: best-scoring hit per group value
+        (collapse_top_docs.rs:239-326 analogue via window row_number)."""
+        frame = self._frame(query, np.float32(1.0), needs_scores=True)
+        joined = self._docmeta.join(frame, ["seg", "doc"])
+        w = Window.partitionBy(group_col).orderBy(F.desc("score"), "seg", "doc")
+        return (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .orderBy(F.desc("score"), "seg", "doc")
+            .limit(k)
+        )
+
+    def rescore(self, query: Query, rescore_query: Query, window: int, k: int,
+                weight: float = 1.0, rescore_weight: float = 1.0) -> DataFrame:
+        """Re-rank the top-``window`` of ``query`` with a second query
+        (rescorer.rs:38-130: combined = w1*s1 + w2*s2 on the candidate set)."""
+        first = (
+            self._frame(query, np.float32(1.0), needs_scores=True)
+            .orderBy(F.desc("score"), "seg", "doc")
+            .limit(window)
+            .withColumnRenamed("score", "s1")
+        )
+        second = self._frame(rescore_query, np.float32(1.0), needs_scores=True)
+        combined = (
+            first.join(second.withColumnRenamed("score", "s2"), ["seg", "doc"], "left")
+            .withColumn(
+                "score",
+                (F.lit(weight) * F.col("s1")
+                 + F.lit(rescore_weight) * F.coalesce(F.col("s2"), F.lit(0.0))
+                 ).cast(self._score_t),
+            )
+            .select("seg", "doc", "score")
+        )
+        out = (
+            self._docmeta.join(F.broadcast(combined.orderBy(
+                F.desc("score"), "seg", "doc").limit(k)), ["seg", "doc"])
+            .orderBy(F.desc("score"), "seg", "doc")
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    # stats
+    # ------------------------------------------------------------------
+
+    def _stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        if not terms:
+            return {}
+        rows = self._term_stats.filter(F.col("term").isin(list(set(terms)))).collect()
+        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+
+    def _collect_terms(self, q: Query) -> list[str]:
+        if isinstance(q, TermQuery):
+            return [q.term]
+        if isinstance(q, PhraseQuery):
+            return list(q.terms)
+        if isinstance(q, BooleanQuery):
+            subs = q.musts + q.shoulds + q.filters + q.must_nots
+        elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            subs = [q.query]
+        elif isinstance(q, DisjunctionMaxQuery):
+            subs = q.disjuncts
+        elif isinstance(q, BoostingQuery):
+            subs = [q.positive, q.negative]
+        else:
+            return []
+        return [t for s in subs for t in self._collect_terms(s)]
+
+    # ------------------------------------------------------------------
+    # planning: query tree → (seg, doc, score) frame
+    # ------------------------------------------------------------------
+
+    def _frame(self, q: Query, boost: np.float32, needs_scores: bool,
+               stats: dict | None = None) -> DataFrame:
+        if stats is None:
+            stats = self._stats_for(self._collect_terms(q))
+
+        if isinstance(q, TermQuery):
+            return self._term_frame(q, boost, stats)
+        if isinstance(q, BoostQuery):
+            return self._frame(q.query, np.float32(boost * np.float32(q.boost)),
+                               needs_scores, stats)
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._frame(q.query, np.float32(1.0), False, stats)
+            s = float(np.float32(boost * np.float32(q.boost)))
+            return inner.select("seg", "doc",
+                                F.lit(s).cast(self._score_t).alias("score"))
+        if isinstance(q, MatchAllDocsQuery):
+            s = float(np.float32(boost))
+            return self._docmeta.select(
+                "seg", "doc", F.lit(s).cast(self._score_t).alias("score"))
+        if isinstance(q, RangeQuery):
+            cond = F.col(q.column).isNotNull()
+            if q.lower is not None:
+                cond = cond & (F.col(q.column) >= F.lit(q.lower))
+            if q.upper is not None:
+                cond = cond & (F.col(q.column) <= F.lit(q.upper))
+            s = float(np.float32(boost))
+            return self._docmeta.filter(cond).select(
+                "seg", "doc", F.lit(s).cast(self._score_t).alias("score"))
+        if isinstance(q, ExistsQuery):
+            s = float(np.float32(boost))
+            return self._docmeta.filter(F.col(q.column).isNotNull()).select(
+                "seg", "doc", F.lit(s).cast(self._score_t).alias("score"))
+        if isinstance(q, BooleanQuery):
+            return self._boolean_frame(q, boost, needs_scores, stats)
+        if isinstance(q, PhraseQuery):
+            return self._phrase_frame(q, boost, stats)
+        if isinstance(q, DisjunctionMaxQuery):
+            tagged = [
+                self._frame(d, boost, needs_scores, stats) for d in q.disjuncts
+            ]
+            unioned = reduce(DataFrame.unionByName, tagged)
+            tie = float(q.tie_breaker)
+            return (
+                unioned.groupBy("seg", "doc")
+                .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sum"))
+                .select(
+                    "seg", "doc",
+                    (F.col("_mx") + F.lit(tie) * (F.col("_sum") - F.col("_mx"))
+                     ).cast(self._score_t).alias("score"),
+                )
+            )
+        if isinstance(q, BoostingQuery):
+            pos = self._frame(q.positive, boost, needs_scores, stats)
+            neg = self._frame(q.negative, np.float32(1.0), False, stats)
+            nb = float(q.negative_boost)
+            return (
+                pos.join(neg.select("seg", "doc", F.lit(True).alias("_neg")),
+                         ["seg", "doc"], "left")
+                .select(
+                    "seg", "doc",
+                    F.when(F.col("_neg").isNotNull(),
+                           (F.col("score") * F.lit(nb)).cast(self._score_t))
+                    .otherwise(F.col("score")).alias("score"),
+                )
+            )
+        raise TypeError(f"unsupported query: {type(q)}")
+
+    # -- leaves ---------------------------------------------------------
+
+    def _decode_score_fn(self, weight32: np.float32, idf_64: float, boost64: float):
+        """mapInPandas closure: unpack blocks → vectorized BM25 per doc."""
+        cache = self.cache
+        scoring = self.scoring
+        avgdl64 = self.avgdl64
+        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                segs, docs, scores = [], [], []
+                for row in pdf.itertuples(index=False):
+                    n = row.num_docs
+                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
+                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
+                    nb = unpack_ints(row.norms_bin, n).astype(np.int64)
+                    if scoring == "lucene":
+                        tff = tf.astype(np.float32)
+                        sc = (wk32 * tff) / (tff + cache[nb])
+                    else:
+                        dl = unpack_ints(row.dls_bin, n).astype(np.float64)
+                        tff = tf.astype(np.float64)
+                        denom = tff + 1.2 * (0.25 + 0.75 * dl / avgdl64)
+                        sc = idf_64 * boost64 * 2.2 * tff / denom
+                    segs.append(np.full(n, row.seg, dtype=np.int32))
+                    docs.append(d)
+                    scores.append(sc)
+                if not segs:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "seg": np.concatenate(segs),
+                        "doc": np.concatenate(docs),
+                        "score": np.concatenate(scores),
+                    }
+                )
+
+        return fn
+
+    def _term_frame(self, q: TermQuery, boost: np.float32, stats: dict) -> DataFrame:
+        df_, _ = stats.get(q.term, (0, 0))
+        total_boost = np.float32(boost * np.float32(q.boost))
+        weight32 = np.float32(idf32(max(df_, 1), self.doc_count) * total_boost)
+        idf_64 = float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        scan = self._postings.filter(F.col("term") == q.term).select(
+            "seg", "num_docs", "docs_bin", "tfs_bin", "norms_bin", "dls_bin"
+        )
+        return scan.mapInPandas(
+            self._decode_score_fn(weight32, idf_64, float(total_boost)),
+            self._score_schema,
+        )
+
+    def _positions_frame(self, term: str) -> DataFrame:
+        """Decode one term's postings with positions (for phrase matching)."""
+
+        def fn(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    n = row.num_docs
+                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
+                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
+                    nb = unpack_ints(row.norms_bin, n).astype(np.int64)
+                    dl = unpack_ints(row.dls_bin, n).astype(np.int64)
+                    plists = unpack_positions(row.pos_bin, tf)
+                    yield pd.DataFrame(
+                        {
+                            "seg": np.full(n, row.seg, dtype=np.int32),
+                            "doc": d,
+                            "norm_byte": nb,
+                            "dl": dl,
+                            "positions": [p.tolist() for p in plists],
+                        }
+                    )
+
+        scan = self._postings.filter(F.col("term") == term).select(
+            "seg", "num_docs", "docs_bin", "tfs_bin", "norms_bin", "dls_bin", "pos_bin"
+        )
+        return scan.mapInPandas(fn, _PHRASE_SCHEMA)
+
+    def _phrase_frame(self, q: PhraseQuery, boost: np.float32, stats: dict) -> DataFrame:
+        if any(t not in stats for t in q.terms):
+            return self.spark.createDataFrame([], self._score_schema)
+        idf_total = np.float32(0.0)
+        idf64_total = 0.0
+        for t in q.terms:
+            df_ = stats[t][0]
+            idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
+            idf64_total += float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        weight32 = np.float32(idf_total * boost)
+        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
+
+        frames = []
+        for i, t in enumerate(q.terms):
+            f = self._positions_frame(t)
+            keep = ["seg", "doc", F.col("positions").alias(f"_p{i}")]
+            if i == 0:
+                keep += [F.col("norm_byte").alias("_nb"), F.col("dl").alias("_dl")]
+            frames.append(f.select(*keep))
+        joined = reduce(lambda a, b: a.join(b, ["seg", "doc"]), frames)
+
+        offsets = list(q.positions)
+        terms = list(q.terms)
+        slop = q.slop
+        cache = self.cache
+        scoring = self.scoring
+        avgdl64 = self.avgdl64
+        boost64 = float(boost)
+        n_terms = len(terms)
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                freqs = np.zeros(len(pdf), dtype=np.float64)
+                pcols = [pdf[f"_p{i}"].tolist() for i in range(n_terms)]
+                for r in range(len(pdf)):
+                    pls = [np.asarray(pcols[i][r], dtype=np.int64) for i in range(n_terms)]
+                    if slop == 0:
+                        freqs[r] = float(exact_phrase_freq(pls, offsets))
+                    else:
+                        freqs[r] = float(sloppy_phrase_freq(pls, offsets, terms, slop))
+                mask = freqs > 0
+                if not mask.any():
+                    continue
+                sub = pdf[mask]
+                fr = freqs[mask]
+                if scoring == "lucene":
+                    tff = fr.astype(np.float32)
+                    sc = (wk32 * tff) / (
+                        tff + cache[sub["_nb"].to_numpy(dtype=np.int64)]
+                    )
+                else:
+                    dl = sub["_dl"].to_numpy(dtype=np.float64)
+                    denom = fr + 1.2 * (0.25 + 0.75 * dl / avgdl64)
+                    sc = idf64_total * boost64 * 2.2 * fr / denom
+                yield pd.DataFrame(
+                    {
+                        "seg": sub["seg"].to_numpy(),
+                        "doc": sub["doc"].to_numpy(),
+                        "score": sc,
+                    }
+                )
+
+        return joined.mapInPandas(fn, self._score_schema)
+
+    # -- boolean ---------------------------------------------------------
+
+    def _boolean_frame(self, q: BooleanQuery, boost: np.float32,
+                       needs_scores: bool, stats: dict) -> DataFrame:
+        tagged = []
+        for sub in q.musts:
+            tagged.append(self._frame(sub, boost, needs_scores, stats)
+                          .withColumn("_ct", F.lit("m")))
+        for sub in q.shoulds:
+            tagged.append(self._frame(sub, boost, needs_scores, stats)
+                          .withColumn("_ct", F.lit("s")))
+        for sub in q.filters:
+            tagged.append(
+                self._frame(sub, np.float32(1.0), False, stats)
+                .select("seg", "doc", F.lit(0.0).cast(self._score_t).alias("score"))
+                .withColumn("_ct", F.lit("f")))
+        for sub in q.must_nots:
+            tagged.append(
+                self._frame(sub, np.float32(1.0), False, stats)
+                .select("seg", "doc", F.lit(0.0).cast(self._score_t).alias("score"))
+                .withColumn("_ct", F.lit("n")))
+
+        unioned = reduce(DataFrame.unionByName, tagged)
+        agg = unioned.groupBy("seg", "doc").agg(
+            F.sum(F.when(F.col("_ct").isin("m", "s"), F.col("score"))
+                  .otherwise(F.lit(0.0))).alias("_score"),
+            F.count(F.when(F.col("_ct") == "m", 1)).alias("_nm"),
+            F.count(F.when(F.col("_ct") == "s", 1)).alias("_ns"),
+            F.count(F.when(F.col("_ct") == "f", 1)).alias("_nf"),
+            F.count(F.when(F.col("_ct") == "n", 1)).alias("_nn"),
+        )
+        cond = (
+            (F.col("_nm") == len(q.musts))
+            & (F.col("_nf") == len(q.filters))
+            & (F.col("_nn") == 0)
+            & (F.col("_ns") >= q.min_should_match)
+        )
+        return agg.filter(cond).select(
+            "seg", "doc", F.col("_score").cast(self._score_t).alias("score")
+        )
