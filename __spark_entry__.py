@@ -1,38 +1,534 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` provides the
+ANSI-SQL equivalent that DuckDB runs on the same parquet tables.
+
+Search operators run through the real engine: an inverted index is built
+once per ``sf_dir`` (segmented postings + stats, rucene_spark.build) and
+queried via rucene_spark.search in "precise" scoring mode — float64 BM25
+with exact field lengths, which is ANSI-SQL-expressible (the float32 +
+byte315-norm "lucene" mode is bit-checked against the oracle engine in
+``tests/test_engine_parity.py`` instead, since SQL has no float32).
+
+Conventions shared by engine and oracle SQL (reference citations in
+rucene_spark modules):
+
+* tokens = text split on single spaces (the documents corpus is ASCII,
+  single-spaced; engine tokenizer degenerates to this exactly);
+* per-doc tf capped at 10; only the first 10 positions kept
+  (posting_writer.rs:641,649-662);
+* avgdl = sum(capped tf) / doc_count;
+* idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score =
+  idf * 2.2 * tf / (tf + 1.2*(0.25 + 0.75*dl/avgdl));
+* top-k tie-break: score desc, doc_id asc (index built with range
+  partitioning on doc_id so engine doc order == doc_id order);
+* float outputs rounded to 6 decimals, aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rucene_spark.build import IndexWriter
+from rucene_spark.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    QueryStringQueryBuilder,
+    RangeQuery,
+    TermQuery,
+)
+from rucene_spark.search import IndexSearcher
+
+_INDEX_CACHE: dict[str, str] = {}
+
+# terms chosen from the documents vocabulary (stable across scale factors)
+T_HI = "table"
+T_MID = "query"
+T_LO = "scan"
+PH_A, PH_B = "key", "agg"
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    sf_dir = sf_dir.rstrip("/")
+    if sf_dir not in _INDEX_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "rucene_spark_idx_" + sf_dir.replace("/", "_"),
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        writer = IndexWriter(
+            spark, idx_dir, n_segments=8, key_col="doc_id", partitioner="range"
+        )
+        writer.build(docs)
+        _INDEX_CACHE[sf_dir] = idx_dir
+    return IndexSearcher(spark, _INDEX_CACHE[sf_dir], scoring="precise")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _topk_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("doc_id"), F.round(F.col("score"), 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle scaffolding (shared CTEs)
+# ---------------------------------------------------------------------------
+
+_BM25_CTE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, least(count(*), 10) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM tf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * 2.2 * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+           AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, st
+)
+"""
+
+
+def _sql_term_topk(term: str, k: int = 10) -> str:
+    return (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, round(score, 6) AS score
+FROM sc WHERE term = '{term}'
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_term_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    return _topk_out(s.search(TermQuery("text", T_HI), 10))
+
+
+def q_bool_should_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = QueryStringQueryBuilder(f"{T_HI} {T_MID}", [("text", 1.0)]).build()
+    return _topk_out(s.search(q, 10))
+
+
+def q_bool_must_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = QueryStringQueryBuilder(f"+{T_HI} +{T_MID}", [("text", 1.0)]).build()
+    return _topk_out(s.search(q, 10))
+
+
+def q_bool_must_not_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = BooleanQuery.build([TermQuery("text", T_HI)], [], [], [TermQuery("text", T_MID)])
+    return _topk_out(s.search(q, 10))
+
+
+def q_bool_msm2_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = BooleanQuery.build(
+        [], [TermQuery("text", T_HI), TermQuery("text", T_MID), TermQuery("text", T_LO)],
+        [], [], min_should_match=2,
+    )
+    return _topk_out(s.search(q, 10))
+
+
+def q_bool_filter_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = BooleanQuery.build(
+        [TermQuery("text", T_MID)], [], [RangeQuery("lang", "en", "en")], []
+    )
+    return _topk_out(s.search(q, 10))
+
+
+def q_phrase_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = PhraseQuery.build("text", [PH_A, PH_B], slop=0)
+    return _topk_out(s.search(q, 10))
+
+
+def q_dismax_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = DisjunctionMaxQuery([TermQuery("text", T_HI), TermQuery("text", T_MID)], 0.3)
+    return _topk_out(s.search(q, 10))
+
+
+def q_constant_score(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = ConstantScoreQuery(TermQuery("text", T_MID), 2.5)
+    return _topk_out(s.search(q, 10))
+
+
+def q_boost_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = QueryStringQueryBuilder(f"{T_HI}^0.5 {T_MID}^2", [("text", 1.0)]).build()
+    return _topk_out(s.search(q, 10))
+
+
+def q_term_count(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(s.count(TermQuery("text", T_HI)),)], "cnt long"
+    )
+
+
+def q_match_all_count(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    return spark.createDataFrame([(s.count(MatchAllDocsQuery()),)], "cnt long")
+
+
+def q_range_count(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(s.count(RangeQuery("n_chars", 200, 400)),)], "cnt long"
+    )
+
+
+def q_sort_by_field(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    rows = s.search_sorted(
+        TermQuery("text", T_LO), [F.desc("n_chars")], 10
+    )
+    return rows.select("doc_id", "n_chars")
+
+
+def q_collapse_by_lang(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    rows = s.collapse(TermQuery("text", T_MID), "lang", 10)
+    return rows.select("lang", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_rescore_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    rows = s.rescore(
+        TermQuery("text", T_HI), TermQuery("text", T_MID),
+        window=50, k=10, weight=1.0, rescore_weight=2.0,
+    )
+    return rows.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_querystring_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = QueryStringQueryBuilder(f"{T_HI} +({T_MID} {T_LO})", [("text", 1.0)]).build()
+    return _topk_out(s.search(q, 10))
+
+
+# --- general analytics over the TPC-H-ish tables (engine sanity ops) -------
+
+
+def q_tpch_q1_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_join_topk(spark, sf_dir):
+    sf = sf_dir.rstrip("/")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.desc("total"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a boolean query over sf0.001 documents."""
+    return q_bool_should_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_topk": q_term_topk,
+        "bool_should_topk": q_bool_should_topk,
+        "bool_must_topk": q_bool_must_topk,
+        "bool_must_not_topk": q_bool_must_not_topk,
+        "bool_msm2_topk": q_bool_msm2_topk,
+        "bool_filter_topk": q_bool_filter_topk,
+        "phrase_topk": q_phrase_topk,
+        "dismax_topk": q_dismax_topk,
+        "constant_score": q_constant_score,
+        "boost_topk": q_boost_topk,
+        "term_count": q_term_count,
+        "match_all_count": q_match_all_count,
+        "range_count": q_range_count,
+        "sort_by_field": q_sort_by_field,
+        "collapse_by_lang": q_collapse_by_lang,
+        "rescore_topk": q_rescore_topk,
+        "querystring_topk": q_querystring_topk,
+        "tpch_q1_agg": q_tpch_q1_agg,
+        "tpch_join_topk": q_tpch_join_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+    sqls["term_topk"] = _sql_term_topk(T_HI)
+
+    sqls["bool_should_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, round(sum(score), 6) AS score
+FROM sc WHERE term IN ('{T_HI}', '{T_MID}')
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id LIMIT 10
+"""
+    )
+
+    sqls["bool_must_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, round(sum(score), 6) AS score
+FROM sc WHERE term IN ('{T_HI}', '{T_MID}')
+GROUP BY doc_id HAVING count(*) = 2
+ORDER BY sum(score) DESC, doc_id LIMIT 10
+"""
+    )
+
+    sqls["bool_must_not_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, round(score, 6) AS score
+FROM sc WHERE term = '{T_HI}'
+  AND doc_id NOT IN (SELECT doc_id FROM sc WHERE term = '{T_MID}')
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+    )
+
+    sqls["bool_msm2_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, round(sum(score), 6) AS score
+FROM sc WHERE term IN ('{T_HI}', '{T_MID}', '{T_LO}')
+GROUP BY doc_id HAVING count(*) >= 2
+ORDER BY sum(score) DESC, doc_id LIMIT 10
+"""
+    )
+
+    sqls["bool_filter_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT sc.doc_id, round(score, 6) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE term = '{T_MID}' AND d.lang = 'en'
+ORDER BY score DESC, sc.doc_id LIMIT 10
+"""
+    )
+
+    # exact phrase: positions capped at 10 per (doc, term) like the index
+    sqls["phrase_topk"] = f"""
+WITH tokpos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, term, pos,
+           row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) AS rn
+    FROM tokpos) WHERE rn <= 10
+),
+freq AS (
+  SELECT a.doc_id, count(*) AS f
+  FROM capped a JOIN capped b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PH_A}' AND b.term = '{PH_B}'
+  GROUP BY a.doc_id
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, least(count(*), 10) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM tf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT sum(idf) AS idf FROM (
+    SELECT ln(1 + (st.n - x.df + 0.5) / (x.df + 0.5)) AS idf
+    FROM (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{PH_A}', '{PH_B}') GROUP BY term) x, st)
+)
+SELECT freq.doc_id,
+       round(dfs.idf * 2.2 * freq.f
+             / (freq.f + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM freq JOIN dl ON dl.doc_id = freq.doc_id, st, dfs
+ORDER BY dfs.idf * 2.2 * freq.f
+         / (freq.f + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) DESC, freq.doc_id
+LIMIT 10
+"""
+
+    sqls["dismax_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id,
+       round(max(score) + 0.3 * (sum(score) - max(score)), 6) AS score
+FROM sc WHERE term IN ('{T_HI}', '{T_MID}')
+GROUP BY doc_id
+ORDER BY max(score) + 0.3 * (sum(score) - max(score)) DESC, doc_id LIMIT 10
+"""
+    )
+
+    sqls["constant_score"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, 2.5::DOUBLE AS score
+FROM sc WHERE term = '{T_MID}'
+ORDER BY doc_id LIMIT 10
+"""
+    )
+
+    # boosted scores recomputed with the engine's operation order:
+    # ((idf * boost) * 2.2) * tf / denom
+    sqls["boost_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, least(count(*), 10) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM tf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         (ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+            * (CASE WHEN tf.term = '{T_HI}' THEN 0.5 ELSE 2.0 END))
+           * 2.2 * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+           AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, st
+  WHERE tf.term IN ('{T_HI}', '{T_MID}')
+)
+SELECT doc_id, round(sum(score), 6) AS score
+FROM sc GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id LIMIT 10
+"""
+
+    sqls["term_count"] = f"""
+SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term = '{T_HI}'
+"""
+
+    sqls["match_all_count"] = "SELECT count(*)::BIGINT AS cnt FROM documents"
+
+    sqls["range_count"] = (
+        "SELECT count(*)::BIGINT AS cnt FROM documents "
+        "WHERE n_chars BETWEEN 200 AND 400"
+    )
+
+    sqls["sort_by_field"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = '{T_LO}')
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+
+    sqls["collapse_by_lang"] = (
+        _BM25_CTE
+        + f"""
+SELECT lang, doc_id, round(score, 6) AS score FROM (
+  SELECT d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS rn
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+  WHERE sc.term = '{T_MID}')
+WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+    )
+
+    sqls["rescore_topk"] = (
+        _BM25_CTE
+        + f"""
+, first AS (
+  SELECT doc_id, score AS s1 FROM sc WHERE term = '{T_HI}'
+  ORDER BY score DESC, doc_id LIMIT 50
+),
+second AS (SELECT doc_id, score AS s2 FROM sc WHERE term = '{T_MID}')
+SELECT first.doc_id,
+       round(1.0 * s1 + 2.0 * coalesce(s2, 0.0), 6) AS score
+FROM first LEFT JOIN second USING (doc_id)
+ORDER BY 1.0 * s1 + 2.0 * coalesce(s2, 0.0) DESC, first.doc_id LIMIT 10
+"""
+    )
+
+    sqls["querystring_topk"] = (
+        _BM25_CTE
+        + f"""
+, grp AS (
+  SELECT doc_id, sum(score) AS gscore FROM sc
+  WHERE term IN ('{T_MID}', '{T_LO}') GROUP BY doc_id
+),
+hi AS (SELECT doc_id, score FROM sc WHERE term = '{T_HI}')
+SELECT grp.doc_id,
+       round(grp.gscore + coalesce(hi.score, 0.0), 6) AS score
+FROM grp LEFT JOIN hi USING (doc_id)
+ORDER BY grp.gscore + coalesce(hi.score, 0.0) DESC, grp.doc_id LIMIT 10
+"""
+    )
+
+    sqls["tpch_q1_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sqls["tpch_join_topk"] = """
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY sum(o.o_totalprice) DESC, c.c_custkey LIMIT 10
+"""
+    return sqls
