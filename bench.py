@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Headline benchmark: index build + BM25 top-k serving over the sf corpus.
+
+Run by the driver per-round; prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Environment:
+  SPARK_GRAFT_SF_DIR  input parquet dir  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] threads    (default 32)
+  BENCH_REPS          timed reps/query   (default 3, after 1 warm-up)
+
+The benchmark measures the two halves of BASELINE.json's metric:
+  * indexing throughput (docs/sec): fresh inverted-index build over the
+    documents table (tokenize -> invert -> FOR/varint-pack -> parquet
+    segments + global stats), reported as `index_docs_per_sec`;
+  * query latency: median seconds per headline query (term / boolean /
+    phrase / dismax / query-string / block-max pruned disjunction), each
+    a full top-10 search through the real engine in float32 "lucene"
+    scoring mode.
+`value` is the total suite wall time (build + one timed pass of every
+query), so lower is better and the driver can trend a single number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+
+
+def _median_time(fn, reps: int) -> float:
+    fn()  # warm-up
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    sf_name = os.path.basename(sf_dir)
+    try:
+        sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.0
+    except ValueError:
+        sf = 0.0
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rucene-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.query import (
+        BooleanQuery,
+        DisjunctionMaxQuery,
+        PhraseQuery,
+        QueryStringQueryBuilder,
+        TermQuery,
+    )
+    from rucene_spark.search import IndexSearcher
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="rucene_bench_idx_")
+    queries: dict[str, float] = {}
+    t_suite0 = time.time()
+    try:
+        # --- index build (fresh; resumable markers absent by construction)
+        t0 = time.time()
+        writer = IndexWriter(
+            spark, idx_dir, n_segments=cpus, key_col="doc_id",
+            partitioner="range",
+        )
+        writer.build(docs)
+        build_secs = time.time() - t0
+        queries["index_build"] = round(build_secs, 4)
+
+        searcher = IndexSearcher(spark, idx_dir, scoring="lucene")
+
+        t_hi, t_mid, t_lo = "table", "query", "scan"
+        bench_queries = {
+            "term_topk": lambda: searcher.search(TermQuery("text", t_hi), 10).collect(),
+            "bool_should_topk": lambda: searcher.search(
+                QueryStringQueryBuilder(f"{t_hi} {t_mid}", [("text", 1.0)]).build(), 10
+            ).collect(),
+            "bool_must_topk": lambda: searcher.search(
+                QueryStringQueryBuilder(f"+{t_hi} +{t_mid}", [("text", 1.0)]).build(), 10
+            ).collect(),
+            "phrase_topk": lambda: searcher.search(
+                PhraseQuery.build("text", ["key", "agg"], slop=0), 10
+            ).collect(),
+            "dismax_topk": lambda: searcher.search(
+                DisjunctionMaxQuery(
+                    [TermQuery("text", t_hi), TermQuery("text", t_mid)], 0.3
+                ), 10
+            ).collect(),
+            "querystring_topk": lambda: searcher.search(
+                QueryStringQueryBuilder(
+                    f"{t_hi} +({t_mid} {t_lo})", [("text", 1.0)]
+                ).build(), 10
+            ).collect(),
+            "msm2_topk": lambda: searcher.search(
+                BooleanQuery.build(
+                    [], [TermQuery("text", t_hi), TermQuery("text", t_mid),
+                         TermQuery("text", t_lo)], [], [],
+                    min_should_match=2,
+                ), 10
+            ).collect(),
+        }
+        if hasattr(searcher, "search_blockmax"):
+            bench_queries["blockmax_topk"] = lambda: searcher.search_blockmax(
+                [t_hi, t_mid, t_lo], 10
+            ).collect()
+
+        for name, fn in bench_queries.items():
+            queries[name] = round(_median_time(fn, reps), 4)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    total = round(build_secs + sum(v for k, v in queries.items()
+                                   if k != "index_build"), 4)
+    out = {
+        "metric": "index_build_plus_topk_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "doc_count": n_docs,
+        "index_docs_per_sec": round(n_docs / build_secs, 2),
+        "cpus": cpus,
+        "suite_wall_secs": round(time.time() - t_suite0, 4),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
