@@ -73,6 +73,7 @@ _POSTINGS_PA_SCHEMA = pa.schema(
         ("last_doc", pa.int64()),
         ("max_tf", pa.int32()),
         ("max_norm_byte", pa.int32()),
+        ("min_dl", pa.int64()),
         ("docs_bin", pa.binary()),
         ("tfs_bin", pa.binary()),
         ("norms_bin", pa.binary()),
@@ -105,7 +106,8 @@ def _invert_segment(
     if di.size == 0:
         empty = pd.DataFrame({f.name: [] for f in _POSTINGS_PA_SCHEMA})
         stats = pd.DataFrame(
-            {"term": [], "df": [], "ttf": [], "max_tf": [], "max_norm_byte": []}
+            {"term": [], "df": [], "ttf": [], "max_tf": [],
+             "max_norm_byte": [], "min_dl": []}
         )
         return empty, docmeta, stats
 
@@ -148,6 +150,7 @@ def _invert_segment(
     stat_ttf: list[int] = []
     stat_maxtf: list[int] = []
     stat_maxnb: list[int] = []
+    stat_mindl: list[int] = []
 
     for ts, te in zip(term_starts, term_ends):
         term = str(uniques[run_term[ts]])
@@ -160,6 +163,7 @@ def _invert_segment(
         stat_ttf.append(int(tfs.sum()))
         stat_maxtf.append(int(tfs.max()))
         stat_maxnb.append(int(norms.max()))
+        stat_mindl.append(int(dls.min()))
         for b0 in range(0, docs.size, BLOCK_SIZE):
             b1 = min(b0 + BLOCK_SIZE, docs.size)
             blk_docs = docs[b0:b1].astype(np.uint64)
@@ -176,6 +180,7 @@ def _invert_segment(
             rows["last_doc"].append(int(blk_docs[-1]))
             rows["max_tf"].append(int(blk_tfs.max()))
             rows["max_norm_byte"].append(int(blk_norms.max()))
+            rows["min_dl"].append(int(blk_dls.min()))
             rows["docs_bin"].append(pack_ints(delta_encode(blk_docs)))
             rows["tfs_bin"].append(pack_ints(blk_tfs))
             rows["norms_bin"].append(pack_ints(blk_norms))
@@ -190,6 +195,7 @@ def _invert_segment(
             "ttf": np.array(stat_ttf, dtype=np.int64),
             "max_tf": np.array(stat_maxtf, dtype=np.int64),
             "max_norm_byte": np.array(stat_maxnb, dtype=np.int64),
+            "min_dl": np.array(stat_mindl, dtype=np.int64),
         }
     )
     return postings, docmeta, segstats
@@ -355,6 +361,7 @@ class IndexWriter:
                 F.sum("ttf").alias("ttf"),
                 F.max("max_tf").alias("max_tf"),
                 F.max("max_norm_byte").alias("max_norm_byte"),
+                F.min("min_dl").alias("min_dl"),
             )
             .repartitionByRange(max(1, self.n_segments // 4), "term")
             .sortWithinPartitions("term")
@@ -367,7 +374,7 @@ class IndexWriter:
         sum_ttf = int(agg[0] or 0)
 
         manifest = {
-            "version": 1,
+            "version": 2,
             "field": self.field,
             "analyzer": self.analyzer,
             "partitioner": self.partitioner,

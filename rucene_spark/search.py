@@ -27,9 +27,23 @@ Scoring modes:
 
 Stats are global across segments; term stats for the query's terms are one
 tiny pruned scan collected to the driver (the analogue of
-``IndexSearcher``'s weight-time stats fetch, searcher.rs:690-767). All
-transcendentals (ln, the norm cache) are computed driver-side in numpy and
-shipped as literals/closures, so executor math is pure f32/f64 arithmetic.
+``IndexSearcher``'s weight-time stats fetch, searcher.rs:690-767) and
+memoized per searcher. All transcendentals (ln, the norm cache) are
+computed driver-side in numpy and shipped as literals/closures, so executor
+math is pure f32/f64 arithmetic.
+
+Multi-term queries read the postings table ONCE (``term IN (...)`` pushed
+to Parquet) and decode every clause in a single Arrow stage — the
+scale-critical property that per-term scans would lose at wide boolean
+queries.
+
+``search_blockmax`` is the BMW (block-max WAND) serving path the north
+rule adds on top of the reference (SURVEY.md §4.3): per-128-doc-block
+upper bounds computed from stored ``(max_tf, max_norm_byte, min_dl)``
+metadata prune block decodes against a θ lower bound obtained by exactly
+scoring the highest-impact term. Pruning is provably rank-preserving (any
+doc in a pruned block has total score < θ ≤ the true k-th score), which
+``tests/test_blockmax.py`` asserts against the exhaustive scorer.
 """
 
 from __future__ import annotations
@@ -66,6 +80,7 @@ B = np.float32(0.75)
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
 _PHRASE_SCHEMA = "seg int, doc long, norm_byte int, dl long, positions array<long>"
+_UB_SLACK = 1e-5  # relative slack on the BMW θ filter (f32 vs f64 rounding)
 
 
 class IndexSearcher:
@@ -86,6 +101,7 @@ class IndexSearcher:
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._score_t = "float" if scoring == "lucene" else "double"
         self._score_schema = _SCORE_SCHEMA if scoring == "lucene" else _SCORE_SCHEMA64
+        self._stats_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------------
     # public API
@@ -107,7 +123,8 @@ class IndexSearcher:
             return self.doc_count
         if isinstance(query, TermQuery):
             stats = self._stats_for([query.term])
-            return stats.get(query.term, (0, 0))[0]
+            row = stats.get(query.term)
+            return int(row["df"]) if row else 0
         return self._frame(query, np.float32(1.0), needs_scores=False).count()
 
     def search_sorted(self, query: Query, sort_cols, k: int = 10) -> DataFrame:
@@ -160,15 +177,184 @@ class IndexSearcher:
         )
         return out
 
+    def search_blockmax(self, terms: list[str], k: int = 10,
+                        boosts: list[float] | None = None,
+                        prune_counter: dict | None = None) -> DataFrame:
+        """Block-max pruned top-k for a should-sum disjunction — the
+        MaxScore/BMW hybrid the north rule adds over the reference
+        (SURVEY.md §4.3: rucene stores skip pointers, skip_writer.rs:36-56,
+        but no impact bounds and no WAND operator).
+
+        1. θ: exactly score the highest-upper-bound ("driver") term; θ =
+           its k-th score — a lower bound on the true k-th total score.
+        2. MaxScore split (Turtle & Flood): non-essential terms N = the
+           maximal ascending-ub prefix with Σ ub(N) < θ. Docs matching
+           only N terms cannot reach top-k.
+        3. Essential terms: decode blocks surviving the per-block bound
+           ``ub(B) + Σ_{t'≠t} ub(t') ≥ θ`` — ub(B) is a pure JVM
+           expression over stored ``(max_tf, max_norm_byte, min_dl)``
+           metadata, no decode.
+        4. Candidates: docs with essential partial + Σ ub(N) ≥ θ. Collect
+           per-segment candidate doc-id ranges (n_segments tiny rows).
+        5. Non-essential terms: decode only blocks whose
+           ``[first_doc, last_doc]`` intersects the candidate range of
+           their segment; join contributions back onto candidates.
+
+        Rank-preservation: a doc losing any block to pruning provably has
+        total score < θ ≤ true k-th score, so every true top-k doc is
+        fully scored, and understated partials cannot displace them
+        (asserted vs the exhaustive scorer in tests/test_blockmax.py).
+        """
+        if boosts is None:
+            boosts = [1.0] * len(terms)
+        stats = self._stats_for(terms)
+        lucene = self.scoring == "lucene"
+
+        infos = []  # (term, boost, term_ub)
+        for t, b in zip(terms, boosts):
+            row = stats.get(t)
+            if row is None:
+                continue
+            wk32, idf_64, b64 = self._term_weights(t, float(np.float32(b)), stats)
+            mtf = float(row["max_tf"])
+            if lucene:
+                ub = float(wk32) * mtf / (
+                    mtf + float(self.cache[int(row["max_norm_byte"])]))
+            else:
+                denom = mtf + 1.2 * (0.25 + 0.75 * float(row["min_dl"]) / self.avgdl64)
+                ub = idf_64 * b64 * 2.2 * mtf / denom
+            infos.append((t, float(np.float32(b)), ub))
+        if not infos:
+            return self._docmeta.join(
+                self.spark.createDataFrame([], self._score_schema), ["seg", "doc"])
+
+        # --- pass 1: θ from the strongest term, scored exactly
+        driver_term, driver_boost, _ = max(infos, key=lambda x: x[2])
+        first = (
+            self._frame(TermQuery("text", driver_term), np.float32(driver_boost),
+                        True, stats)
+            .orderBy(F.desc("score"), "seg", "doc").limit(k).collect()
+        )
+        theta = float(first[-1]["score"]) if len(first) == k else 0.0
+        thr = theta * (1.0 - _UB_SLACK) - 1e-9
+
+        # --- MaxScore split: maximal ascending-ub prefix below θ
+        by_ub = sorted(infos, key=lambda x: x[2])
+        nonessential, acc = [], 0.0
+        for info in by_ub:
+            if theta > 0 and acc + info[2] < thr:
+                nonessential.append(info)
+                acc += info[2]
+            else:
+                break
+        ness_terms = {t for t, _, _ in nonessential}
+        essential = [i for i in infos if i[0] not in ness_terms]
+        ub_n = sum(ub for _, _, ub in nonessential)
+        total_ub = sum(ub for _, _, ub in infos)
+
+        # --- block upper-bound expression (metadata only, no decode)
+        if lucene:
+            cache_arr = F.array(*[F.lit(float(c)) for c in self.cache])
+            denom_col = F.element_at(cache_arr, F.col("max_norm_byte") + 1)
+        else:
+            denom_col = F.lit(1.2) * (
+                F.lit(0.25) + F.lit(0.75) * F.col("min_dl") / F.lit(self.avgdl64))
+
+        def block_keep(sub_infos):
+            keep = F.lit(False)
+            for t, b, ub in sub_infos:
+                wk32, idf_64, b64 = self._term_weights(t, b, stats)
+                scale = float(wk32) if lucene else idf_64 * b64 * 2.2
+                block_ub = (F.lit(scale) * F.col("max_tf")
+                            / (F.col("max_tf") + denom_col))
+                keep = keep | ((F.col("term") == t)
+                               & (block_ub + F.lit(total_ub - ub) >= F.lit(thr)))
+            return keep
+
+        scan_cols = ["term", "seg", "num_docs", "docs_bin", "tfs_bin",
+                     "norms_bin", "dls_bin"]
+        ess_scan = self._postings.filter(
+            F.col("term").isin([t for t, _, _ in essential]))
+        ess_keep = block_keep(essential)
+        ess_specs = [(t, "", b, True) for t, b, _ in essential]
+        ess_decode = self._batch_term_frame(
+            ess_specs, stats, with_tag=False,
+            scan=ess_scan.filter(ess_keep).select(*scan_cols))
+        partial = (
+            ess_decode.groupBy("seg", "doc")
+            .agg(F.sum("score").alias("score"))
+        )
+
+        if prune_counter is not None:
+            all_scan = self._postings.filter(
+                F.col("term").isin([t for t, _, _ in infos]))
+            prune_counter["theta"] = theta
+            prune_counter["n_essential"] = len(essential)
+            prune_counter["n_nonessential"] = len(nonessential)
+            prune_counter["total_blocks"] = all_scan.count()
+            prune_counter["kept_blocks"] = ess_scan.filter(ess_keep).count()
+
+        if not nonessential:
+            scored = partial
+        else:
+            partial = partial.persist()
+            candidates = partial.filter(F.col("score") + F.lit(ub_n) >= F.lit(thr))
+            ranges = {
+                r["seg"]: (r["lo"], r["hi"])
+                for r in candidates.groupBy("seg")
+                .agg(F.min("doc").alias("lo"), F.max("doc").alias("hi"))
+                .collect()
+            }
+            if ranges:
+                rng = F.lit(False)
+                for seg, (lo, hi) in ranges.items():
+                    rng = rng | ((F.col("seg") == seg)
+                                 & (F.col("last_doc") >= lo)
+                                 & (F.col("first_doc") <= hi))
+            else:
+                rng = F.lit(False)
+            ness_scan = self._postings.filter(
+                F.col("term").isin(list(ness_terms)) & rng).select(*scan_cols)
+            ness_specs = [(t, "", b, True) for t, b, _ in nonessential]
+            ness_decode = self._batch_term_frame(
+                ness_specs, stats, with_tag=False, scan=ness_scan)
+            ness_sum = ness_decode.groupBy("seg", "doc").agg(
+                F.sum("score").alias("_ns"))
+            if prune_counter is not None:
+                prune_counter["kept_blocks"] += ness_scan.count()
+            scored = (
+                candidates.join(ness_sum, ["seg", "doc"], "left")
+                .select("seg", "doc",
+                        (F.col("score") + F.coalesce(F.col("_ns"), F.lit(0.0))
+                         ).alias("score"))
+            )
+
+        topk = (
+            scored.select("seg", "doc", F.col("score").cast(self._score_t)
+                          .alias("score"))
+            .orderBy(F.desc("score"), "seg", "doc").limit(k)
+        )
+        return (
+            self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
+            .orderBy(F.desc("score"), "seg", "doc")
+        )
+
     # ------------------------------------------------------------------
     # stats
     # ------------------------------------------------------------------
 
-    def _stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        if not terms:
-            return {}
-        rows = self._term_stats.filter(F.col("term").isin(list(set(terms)))).collect()
-        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+    def _stats_for(self, terms: list[str]) -> dict[str, dict]:
+        """Term → stats row dict; memoized (absent terms cached as misses)."""
+        want = set(terms)
+        missing = [t for t in want if t not in self._stats_cache]
+        if missing:
+            rows = self._term_stats.filter(F.col("term").isin(missing)).collect()
+            for r in rows:
+                self._stats_cache[r["term"]] = r.asDict()
+            for t in missing:
+                self._stats_cache.setdefault(t, None)
+        return {t: self._stats_cache[t] for t in want
+                if self._stats_cache[t] is not None}
 
     def _collect_terms(self, q: Query) -> list[str]:
         if isinstance(q, TermQuery):
@@ -228,10 +414,21 @@ class IndexSearcher:
         if isinstance(q, PhraseQuery):
             return self._phrase_frame(q, boost, stats)
         if isinstance(q, DisjunctionMaxQuery):
-            tagged = [
-                self._frame(d, boost, needs_scores, stats) for d in q.disjuncts
-            ]
-            unioned = reduce(DataFrame.unionByName, tagged)
+            all_terms = (
+                all(isinstance(d, TermQuery) for d in q.disjuncts)
+                and len({d.term for d in q.disjuncts}) == len(q.disjuncts)
+            )
+            if all_terms:
+                specs = [
+                    (d.term, "", float(np.float32(boost * np.float32(d.boost))), True)
+                    for d in q.disjuncts
+                ]
+                unioned = self._batch_term_frame(specs, stats, with_tag=False)
+            else:
+                tagged = [
+                    self._frame(d, boost, needs_scores, stats) for d in q.disjuncts
+                ]
+                unioned = reduce(DataFrame.unionByName, tagged)
             tie = float(q.tie_breaker)
             return (
                 unioned.groupBy("seg", "doc")
@@ -301,7 +498,8 @@ class IndexSearcher:
         return fn
 
     def _term_frame(self, q: TermQuery, boost: np.float32, stats: dict) -> DataFrame:
-        df_, _ = stats.get(q.term, (0, 0))
+        row = stats.get(q.term)
+        df_ = int(row["df"]) if row else 0
         total_boost = np.float32(boost * np.float32(q.boost))
         weight32 = np.float32(idf32(max(df_, 1), self.doc_count) * total_boost)
         idf_64 = float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
@@ -312,6 +510,81 @@ class IndexSearcher:
             self._decode_score_fn(weight32, idf_64, float(total_boost)),
             self._score_schema,
         )
+
+    def _term_weights(self, term: str, boost: float, stats: dict):
+        """Per-term scoring constants: (wk32, idf64, boost64)."""
+        row = stats.get(term)
+        df_ = int(row["df"]) if row else 0
+        w32 = np.float32(idf32(max(df_, 1), self.doc_count) * np.float32(boost))
+        wk32 = np.float32(w32 * (K1 + np.float32(1.0)))
+        idf_64 = float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        return wk32, idf_64, float(boost)
+
+    def _batch_term_frame(self, specs: list[tuple], stats: dict,
+                          with_tag: bool, scan: DataFrame | None = None) -> DataFrame:
+        """ONE postings scan + ONE Arrow decode stage for many term clauses.
+
+        ``specs``: (term, tag, boost, scored) per clause. Replaces the
+        per-term scan union for boolean/dismax queries — the reference's
+        per-clause postings iterators share one index pass here
+        (conjunction_scorer.rs / disjunction_scorer.rs collapse into a
+        single term-pruned columnar scan).
+        """
+        by_term: dict[str, list] = {}
+        for term, tag, boost, scored in specs:
+            wk32, idf_64, b64 = self._term_weights(term, boost, stats)
+            by_term.setdefault(term, []).append((tag, scored, wk32, idf_64, b64))
+
+        cache = self.cache
+        scoring = self.scoring
+        avgdl64 = self.avgdl64
+        ftype = np.float32 if scoring == "lucene" else np.float64
+
+        def fn(batches):
+            for pdf in batches:
+                segs, docs, scores, tags = [], [], [], []
+                for row in pdf.itertuples(index=False):
+                    n = row.num_docs
+                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
+                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
+                    nb = dl = None
+                    for tag, scored, wk32, idf_64, b64 in by_term[row.term]:
+                        if not scored:
+                            sc = np.zeros(n, dtype=ftype)
+                        elif scoring == "lucene":
+                            if nb is None:
+                                nb = unpack_ints(row.norms_bin, n).astype(np.int64)
+                            tff = tf.astype(np.float32)
+                            sc = (wk32 * tff) / (tff + cache[nb])
+                        else:
+                            if dl is None:
+                                dl = unpack_ints(row.dls_bin, n).astype(np.float64)
+                            tff = tf.astype(np.float64)
+                            denom = tff + 1.2 * (0.25 + 0.75 * dl / avgdl64)
+                            sc = idf_64 * b64 * 2.2 * tff / denom
+                        segs.append(np.full(n, row.seg, dtype=np.int32))
+                        docs.append(d)
+                        scores.append(sc)
+                        if with_tag:
+                            tags.append(np.full(n, tag, dtype=object))
+                if not segs:
+                    continue
+                out = {
+                    "seg": np.concatenate(segs),
+                    "doc": np.concatenate(docs),
+                    "score": np.concatenate(scores),
+                }
+                if with_tag:
+                    out["_ct"] = np.concatenate(tags)
+                yield pd.DataFrame(out)
+
+        if scan is None:
+            scan = self._postings.filter(
+                F.col("term").isin(list(by_term))
+            ).select("term", "seg", "num_docs", "docs_bin", "tfs_bin",
+                     "norms_bin", "dls_bin")
+        schema = self._score_schema + (", _ct string" if with_tag else "")
+        return scan.mapInPandas(fn, schema)
 
     def _positions_frame(self, term: str) -> DataFrame:
         """Decode one term's postings with positions (for phrase matching)."""
@@ -346,7 +619,7 @@ class IndexSearcher:
         idf_total = np.float32(0.0)
         idf64_total = 0.0
         for t in q.terms:
-            df_ = stats[t][0]
+            df_ = int(stats[t]["df"])
             idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
             idf64_total += float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
         weight32 = np.float32(idf_total * boost)
@@ -410,23 +683,31 @@ class IndexSearcher:
 
     def _boolean_frame(self, q: BooleanQuery, boost: np.float32,
                        needs_scores: bool, stats: dict) -> DataFrame:
-        tagged = []
-        for sub in q.musts:
-            tagged.append(self._frame(sub, boost, needs_scores, stats)
-                          .withColumn("_ct", F.lit("m")))
-        for sub in q.shoulds:
-            tagged.append(self._frame(sub, boost, needs_scores, stats)
-                          .withColumn("_ct", F.lit("s")))
-        for sub in q.filters:
-            tagged.append(
-                self._frame(sub, np.float32(1.0), False, stats)
-                .select("seg", "doc", F.lit(0.0).cast(self._score_t).alias("score"))
-                .withColumn("_ct", F.lit("f")))
-        for sub in q.must_nots:
-            tagged.append(
-                self._frame(sub, np.float32(1.0), False, stats)
-                .select("seg", "doc", F.lit(0.0).cast(self._score_t).alias("score"))
-                .withColumn("_ct", F.lit("n")))
+        term_specs: list[tuple] = []
+        tagged: list[DataFrame] = []
+
+        def add(subs, tag, scored, sub_boost):
+            for sub in subs:
+                if isinstance(sub, TermQuery):
+                    eff = (float(np.float32(sub_boost * np.float32(sub.boost)))
+                           if scored else 1.0)
+                    term_specs.append((sub.term, tag, eff, scored))
+                elif scored:
+                    tagged.append(self._frame(sub, sub_boost, needs_scores, stats)
+                                  .withColumn("_ct", F.lit(tag)))
+                else:
+                    tagged.append(
+                        self._frame(sub, np.float32(1.0), False, stats)
+                        .select("seg", "doc",
+                                F.lit(0.0).cast(self._score_t).alias("score"))
+                        .withColumn("_ct", F.lit(tag)))
+
+        add(q.musts, "m", True, boost)
+        add(q.shoulds, "s", True, boost)
+        add(q.filters, "f", False, np.float32(1.0))
+        add(q.must_nots, "n", False, np.float32(1.0))
+        if term_specs:
+            tagged.append(self._batch_term_frame(term_specs, stats, with_tag=True))
 
         unioned = reduce(DataFrame.unionByName, tagged)
         agg = unioned.groupBy("seg", "doc").agg(

@@ -1,0 +1,74 @@
+"""Block-max WAND pruning must be rank- and score-identical to the
+exhaustive disjunction scorer (SURVEY.md §4.3: pruning is correctness-
+neutral by construction; this is the gate that keeps it so)."""
+
+import pandas as pd
+import pytest
+
+from rucene_spark.build import IndexWriter
+from rucene_spark.query import BooleanQuery, TermQuery
+from rucene_spark.search import IndexSearcher
+from rucene_spark.webtext import make_corpus, term_df_spectrum
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pd.DataFrame:
+    return make_corpus(900, seed=7)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bmw_idx"))
+    IndexWriter(spark, d, n_segments=4).build(
+        spark.createDataFrame(corpus[["url", "text", "lang"]])
+    )
+    return d
+
+
+def _term_sets(corpus):
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    hi, hi2 = plain[0], plain[1]
+    mid = plain[len(plain) // 3]
+    rare = plain[-1]
+    return [
+        [hi, mid],
+        [hi, hi2, mid],
+        [hi, mid, rare],
+        [rare, "tzzzzzz"],          # rare + absent
+        [hi],                        # single term degenerates to TermQuery
+        [hi, mid, rare, hi2],
+    ]
+
+
+@pytest.mark.parametrize("scoring", ["lucene", "precise"])
+def test_blockmax_equals_exhaustive(spark, corpus, index_dir, scoring):
+    s = IndexSearcher(spark, index_dir, scoring=scoring)
+    for terms in _term_sets(corpus):
+        for k in (3, 10):
+            exhaustive = s.search(
+                BooleanQuery.build([], [TermQuery("text", t) for t in terms], [], []),
+                k,
+            ).select("seg", "doc", "score").collect()
+            pruned = s.search_blockmax(terms, k).select(
+                "seg", "doc", "score").collect()
+            assert [(r.seg, r.doc) for r in pruned] == [
+                (r.seg, r.doc) for r in exhaustive], (terms, k, scoring)
+            assert [r.score for r in pruned] == pytest.approx(
+                [r.score for r in exhaustive], rel=1e-6), (terms, k, scoring)
+
+
+def test_blockmax_actually_prunes(spark, index_dir, corpus):
+    """For a skewed disjunction (one rare high-idf term + dense stopword-ish
+    terms) the metadata filter must discard some blocks — pruning is the
+    point of BMW, not just matching the exhaustive scorer."""
+    s = IndexSearcher(spark, index_dir, scoring="lucene")
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    # rare driver term → high theta; dense terms have many low-ub blocks
+    terms = [plain[-1], plain[0], plain[1]]
+    ctr: dict = {}
+    s.search_blockmax(terms, 1, prune_counter=ctr).collect()
+    assert ctr["total_blocks"] > 0
+    assert ctr["theta"] > 0
+    assert ctr["kept_blocks"] < ctr["total_blocks"], ctr
