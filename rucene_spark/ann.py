@@ -1,0 +1,219 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a 10^12-row pipeline needs:
+
+* brute-force cosine top-k — the exactness baseline: one scan, the dot
+  product is a JVM ``aggregate(zip_with(...))`` expression against a
+  broadcast query-vector literal (no UDF, no Python);
+* random-hyperplane LSH — the scale path: 8 deterministic ±1 hyperplanes
+  → 8-bit bucket per vector; a query probes only its bucket, shrinking
+  the candidate scan ~256× on balanced buckets. Bucketing by a column
+  equality predicate means partition/row-group pruning applies when the
+  table is written bucketed by ``bucket``.
+
+Plus embedding-cosine near-dup pairs (bucket-blocked self-join).
+
+The hyperplane matrix is derived in Python from md5 (deterministic, no
+RNG state) and inlined as literals in BOTH the Spark plan and the DuckDB
+oracle SQL, so results are value-identical: double-precision sequential
+dot products on both sides round identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    h = hashlib.md5(f"plane{plane}_{dim}".encode()).hexdigest()
+    return 1 if int(h[:2], 16) % 2 == 1 else -1
+
+
+#: deterministic ±1 hyperplane matrix [N_PLANES][DIM]
+PLANES = [[_plane_sign(i, j) for j in range(DIM)] for i in range(N_PLANES)]
+
+
+def _dot_lit(vec_col: str, vals: list[float]):
+    """Σ vec[i]·vals[i] in doubles, sequential order (SQL-identical)."""
+    arr = F.array(*[F.lit(float(v)) for v in vals])
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, "
+        + "array(" + ", ".join(f"CAST({float(v)} AS DOUBLE)" for v in vals) + ")"
+        + ", (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(vec_col: str):
+    return F.sqrt(F.expr(
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+        f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ))
+
+
+def _dot_lit_sql(vec_expr: str, vals: list[float]) -> str:
+    lit = "[" + ", ".join(f"{float(v)}::DOUBLE" for v in vals) + "]"
+    return f"list_dot_product({vec_expr}::DOUBLE[], {lit})"
+
+
+def _norm_sql(vec_expr: str) -> str:
+    return f"sqrt(list_dot_product({vec_expr}::DOUBLE[], {vec_expr}::DOUBLE[]))"
+
+
+def _query_vec(df: DataFrame, vec_id: int) -> list[float]:
+    row = df.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise KeyError(f"vec_id {vec_id} not found")
+    return [float(x) for x in row[0]]
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def ann_bruteforce(df: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact cosine top-k against the vector of ``query_vec_id`` (excluded
+    from results). One scan; `TakeOrderedAndProject` does the top-k."""
+    q = _query_vec(df, query_vec_id)
+    qn = sum(v * v for v in q) ** 0.5
+    cos = _dot_lit("embedding", q) / (_norm("embedding") * F.lit(qn))
+    return (
+        df.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_bruteforce_sql(q: list[float], query_vec_id: int, k: int = 10) -> str:
+    qn = sum(v * v for v in q) ** 0.5
+    return f"""
+SELECT vec_id,
+       round({_dot_lit_sql('embedding', q)}
+             / ({_norm_sql('embedding')} * {qn!r}), 6) AS cosine
+FROM embeddings
+WHERE vec_id <> {query_vec_id}
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def _bucket_col(vec_col: str = "embedding"):
+    b = F.lit(0)
+    for i, plane in enumerate(PLANES):
+        b = b + F.when(_dot_lit(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def _bucket_sql(vec_expr: str = "embedding") -> str:
+    parts = [
+        f"(CASE WHEN {_dot_lit_sql(vec_expr, plane)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(PLANES)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_buckets(df: DataFrame) -> DataFrame:
+    """(vec_id, bucket): 8-bit random-hyperplane signature per vector."""
+    return df.select("vec_id", _bucket_col().alias("bucket")).orderBy("vec_id")
+
+
+LSH_BUCKETS_SQL = f"""
+SELECT vec_id, {_bucket_sql()} AS bucket
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def ann_lsh(df: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    The bucket predicate prunes the scan; the recall/latency trade is the
+    point (the exact baseline is ann_bruteforce)."""
+    q = _query_vec(df, query_vec_id)
+    qbucket = 0
+    for i, plane in enumerate(PLANES):
+        if sum(p * v for p, v in zip(plane, q)) > 0:
+            qbucket |= 1 << i
+    qn = sum(v * v for v in q) ** 0.5
+    cos = _dot_lit("embedding", q) / (_norm("embedding") * F.lit(qn))
+    return (
+        df.where(F.col("vec_id") != query_vec_id)
+        .where(_bucket_col() == qbucket)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_lsh_sql(q: list[float], query_vec_id: int, k: int = 10) -> str:
+    qbucket = 0
+    for i, plane in enumerate(PLANES):
+        if sum(p * v for p, v in zip(plane, q)) > 0:
+            qbucket |= 1 << i
+    qn = sum(v * v for v in q) ** 0.5
+    return f"""
+SELECT vec_id,
+       round({_dot_lit_sql('embedding', q)}
+             / ({_norm_sql('embedding')} * {qn!r}), 6) AS cosine
+FROM embeddings
+WHERE vec_id <> {query_vec_id} AND {_bucket_sql()} = {qbucket}
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (bucket-blocked self-join)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup(df: DataFrame, limit: int = 20) -> DataFrame:
+    """Top pairs by cosine among same-LSH-bucket candidates — the
+    embedding analogue of MinHash near-dup (blocking keeps the self-join
+    off the n² diagonal)."""
+    with_b = df.select(
+        "vec_id", "embedding", _bucket_col().alias("bucket"),
+        _norm("embedding").alias("_n"),
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (F.col("a._n") * F.col("b._n")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(limit)
+    )
+
+
+def embedding_neardup_sql(limit: int = 20) -> str:
+    return f"""
+WITH w AS (
+  SELECT vec_id, embedding, {_bucket_sql()} AS bucket,
+         {_norm_sql('embedding')} AS n
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (a.n * b.n), 6) AS cosine
+FROM w a JOIN w b ON a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT {limit}
+"""

@@ -74,6 +74,7 @@ _POSTINGS_PA_SCHEMA = pa.schema(
         ("max_tf", pa.int32()),
         ("max_norm_byte", pa.int32()),
         ("min_dl", pa.int64()),
+        ("ttf", pa.int64()),
         ("docs_bin", pa.binary()),
         ("tfs_bin", pa.binary()),
         ("norms_bin", pa.binary()),
@@ -181,6 +182,7 @@ def _invert_segment(
             rows["max_tf"].append(int(blk_tfs.max()))
             rows["max_norm_byte"].append(int(blk_norms.max()))
             rows["min_dl"].append(int(blk_dls.min()))
+            rows["ttf"].append(int(blk_tfs.sum()))
             rows["docs_bin"].append(pack_ints(delta_encode(blk_docs)))
             rows["tfs_bin"].append(pack_ints(blk_tfs))
             rows["norms_bin"].append(pack_ints(blk_norms))
@@ -350,31 +352,13 @@ class IndexWriter:
         )
         seg_rows = sorted((r.asDict() for r in rows), key=lambda r: r["segment_id"])
 
-        # global term/collection stats: aggregate the per-segment partials.
-        # The per-segment pre-aggregation is the skew guard: a hot term has
-        # at most n_segments partial rows entering this shuffle.
-        segstats = self.spark.read.parquet(os.path.join(self.index_dir, "segstats"))
-        term_stats = (
-            segstats.groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("ttf").alias("ttf"),
-                F.max("max_tf").alias("max_tf"),
-                F.max("max_norm_byte").alias("max_norm_byte"),
-                F.min("min_dl").alias("min_dl"),
-            )
-            .repartitionByRange(max(1, self.n_segments // 4), "term")
-            .sortWithinPartitions("term")
+        sum_ttf = write_term_stats(
+            self.spark, self.index_dir, max(1, self.n_segments // 4)
         )
-        ts_dir = os.path.join(self.index_dir, "term_stats")
-        term_stats.write.mode("overwrite").parquet(ts_dir)
-
-        agg = self.spark.read.parquet(ts_dir).agg(F.sum("ttf")).first()
         doc_count = int(sum(r["docs"] for r in seg_rows))
-        sum_ttf = int(agg[0] or 0)
 
         manifest = {
-            "version": 2,
+            "version": 3,
             "field": self.field,
             "analyzer": self.analyzer,
             "partitioner": self.partitioner,
@@ -384,12 +368,44 @@ class IndexWriter:
             "sum_ttf": sum_ttf,
             "segments": seg_rows,
         }
-        mpath = os.path.join(self.index_dir, MANIFEST)
-        tmp = f"{mpath}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        os.replace(tmp, mpath)
+        write_manifest(self.index_dir, manifest)
         return manifest
+
+
+def write_term_stats(spark: SparkSession, index_dir: str, n_parts: int) -> int:
+    """(Re)aggregate per-segment stat partials into the global term_stats
+    table; returns the collection sum_total_term_freq.
+
+    The per-segment pre-aggregation is the skew guard: a hot term enters
+    this shuffle with at most one partial row per segment.
+    """
+    segstats = spark.read.parquet(os.path.join(index_dir, "segstats"))
+    term_stats = (
+        segstats.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("ttf").alias("ttf"),
+            F.max("max_tf").alias("max_tf"),
+            F.max("max_norm_byte").alias("max_norm_byte"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .repartitionByRange(max(1, n_parts), "term")
+        .sortWithinPartitions("term")
+    )
+    ts_dir = os.path.join(index_dir, "term_stats")
+    term_stats.write.mode("overwrite").parquet(ts_dir)
+    agg = spark.read.parquet(ts_dir).agg(F.sum("ttf")).first()
+    return int(agg[0] or 0)
+
+
+def write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic commit-point swap (the ``segments_N`` two-phase commit,
+    index_writer.rs:630-640)."""
+    mpath = os.path.join(index_dir, MANIFEST)
+    tmp = f"{mpath}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, mpath)
 
 
 def load_manifest(index_dir: str) -> dict:

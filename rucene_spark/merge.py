@@ -1,0 +1,459 @@
+"""Segment maintenance: deletes (tombstones), tiered merge policy, and the
+distributed segment merger.
+
+Reference correspondences (/root/reference):
+
+* delete-by-term tombstones ≈ ``DocumentsWriterDeleteQueue`` packets
+  (index_writer.rs:471-522); applied at query time as a live-docs anti-join
+  (live_docs.rs) and squeezed out physically at merge
+  (segment_merger.rs:36-80 "deletions squeezed out");
+* ``TieredMergePolicy`` constants and candidate scoring ported from
+  merge_policy.rs:414-553 (defaults :431-435, score :497-553). One
+  deliberate divergence: candidates are **adjacent seg-id runs** (like
+  Lucene's LogMergePolicy) instead of arbitrary size-sorted sets, because
+  our global doc order is ``(segment_id, local_doc_id)`` and adjacent
+  concatenation preserves it exactly — rank/tie-break behavior of every
+  query is invariant under merging;
+* ``SegmentMerger`` doc-id remap ≈ doc_id_merger.rs:27-58 (sequential
+  ``doc_base`` concatenation): ``new_doc = old_doc − #deleted_before(old)
+  + Σ live docs of earlier segments in the run``.
+
+Scale posture (the north rule's "salt-keyed, skew-aware" requirement):
+postings payloads are **never grouped by term**. Each 128-doc block is
+remapped independently (delta re-encode touches only the first gap), so a
+stopword with billions of postings costs no hot shuffle key; the only
+term-keyed exchanges move metadata-sized rows (per-(term,seg) counts and
+per-segment stat partials). Output blocks are range-partitioned on
+``(term, block_id)`` — a hot term's blocks spread across many partitions
+while staying term-sorted for row-group pruning.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import SparkSession, functions as F
+
+from .build import (
+    _POSTINGS_PA_SCHEMA,
+    load_manifest,
+    write_manifest,
+    write_term_stats,
+)
+from .codec import delta_decode, delta_encode, pack_ints, pack_positions, \
+    unpack_ints, unpack_positions
+
+TOMBSTONES = "tombstones"
+
+_BLOCK_SCHEMA_DDL = (
+    "term string, block_id int, num_docs int, first_doc long, last_doc long, "
+    "max_tf int, max_norm_byte int, min_dl long, ttf long, "
+    "docs_bin binary, tfs_bin binary, norms_bin binary, dls_bin binary, "
+    "pos_bin binary"
+)
+
+
+# ---------------------------------------------------------------------------
+# deletes
+# ---------------------------------------------------------------------------
+
+
+def delete_by_keys(index_dir: str, keys: list) -> int:
+    """Buffer delete-by-key tombstones (index_writer.rs:471 delete_by_term
+    analogue). Applied logically at query time, physically at merge."""
+    d = os.path.join(index_dir, TOMBSTONES)
+    os.makedirs(d, exist_ok=True)
+    t = pa.table({"key": pa.array([str(k) for k in keys], type=pa.string())})
+    pq.write_table(t, os.path.join(d, f"tomb-{uuid.uuid4().hex[:12]}.parquet"))
+    return len(keys)
+
+
+def has_tombstones(index_dir: str) -> bool:
+    d = os.path.join(index_dir, TOMBSTONES)
+    return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+
+# ---------------------------------------------------------------------------
+# TieredMergePolicy (merge_policy.rs:414-673, adjacency-constrained)
+# ---------------------------------------------------------------------------
+
+
+class TieredMergePolicy:
+    def __init__(
+        self,
+        max_merge_at_once: int = 10,            # merge_policy.rs:431
+        max_merged_segment_bytes: int = 5 << 30,  # :432 (5 GiB)
+        floor_segment_bytes: int = 2 << 20,       # :433 (2 MiB)
+        segs_per_tier: float = 5.0,               # :435
+    ) -> None:
+        self.max_merge_at_once = max_merge_at_once
+        self.max_merged_segment_bytes = max_merged_segment_bytes
+        self.floor_segment_bytes = floor_segment_bytes
+        self.segs_per_tier = segs_per_tier
+
+    def _floored(self, size: int) -> int:
+        return max(size, self.floor_segment_bytes)
+
+    def _allowed_seg_count(self, sizes: list[int]) -> float:
+        """Budget of segments the tier geometry permits (merge_policy.rs
+        find_merges level math :555-620)."""
+        total = float(sum(self._floored(s) for s in sizes))
+        if not sizes:
+            return 0.0
+        level = float(self._floored(min(sizes)))
+        allowed = 0.0
+        remaining = total
+        while True:
+            count_at_level = remaining / level
+            if count_at_level < self.segs_per_tier:
+                allowed += math.ceil(count_at_level)
+                break
+            allowed += self.segs_per_tier
+            remaining -= self.segs_per_tier * level
+            level *= self.max_merge_at_once
+        return allowed
+
+    def find_merge(self, segments: list[dict]) -> list[int] | None:
+        """Pick one merge: the best-scoring adjacent run of 2..N segments.
+
+        ``segments``: dicts with ``segment_id``, ``bytes`` and optional
+        ``del_ratio`` (deleted/total docs). Returns seg ids or None.
+        Score (lower = better, merge_policy.rs:497-553):
+        ``skew · total^0.05 · (1 − reclaimed)^2`` where skew =
+        floored(max)/floored(total) — prefers balanced, delete-heavy,
+        smaller merges.
+        """
+        segs = sorted(segments, key=lambda s: s["segment_id"])
+        sizes = [int(s["bytes"]) for s in segs]
+        if len(segs) <= max(2.0, self._allowed_seg_count(sizes)):
+            return None
+
+        too_big = self.max_merged_segment_bytes // 2
+        best, best_score = None, None
+        n = len(segs)
+        for i in range(n):
+            if sizes[i] > too_big:
+                continue
+            total = 0
+            for j in range(i, min(n, i + self.max_merge_at_once)):
+                if sizes[j] > too_big:
+                    break
+                total += sizes[j]
+                if total > self.max_merged_segment_bytes:
+                    break
+                if j == i:
+                    continue
+                run = segs[i:j + 1]
+                floored = [self._floored(sizes[x]) for x in range(i, j + 1)]
+                skew = max(floored) / float(sum(floored))
+                reclaimed = sum(
+                    s.get("del_ratio", 0.0) * sz
+                    for s, sz in zip(run, sizes[i:j + 1])
+                ) / max(1.0, float(total))
+                score = (skew
+                         * (float(total) ** 0.05)
+                         * ((1.0 - reclaimed) ** 2.0))
+                if best_score is None or score < best_score:
+                    best, best_score = [s["segment_id"] for s in run], score
+        return best
+
+
+def segment_sizes(index_dir: str, seg_ids: list[int]) -> dict[int, int]:
+    """On-disk bytes per segment (postings + docmeta + segstats dirs)."""
+    out = {}
+    for sid in seg_ids:
+        total = 0
+        for sub in ("postings", "docmeta", "segstats"):
+            d = os.path.join(index_dir, sub, f"seg={sid}")
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    total += os.path.getsize(os.path.join(d, f))
+        out[sid] = total
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SegmentMerger
+# ---------------------------------------------------------------------------
+
+
+def _staged_spark_write(df, index_dir: str, name: str, n_parts: int,
+                        sort_cols) -> str:
+    """Write a DataFrame to a stage dir OUTSIDE the partition-discovered
+    table trees (so ``spark.read.parquet(postings/)`` never sees half-written
+    ``seg=…`` dirs), range-partitioned + sorted; returns the stage path.
+    No ``_``/``.`` prefix — Spark's hidden-path filter would skip those."""
+    stage = os.path.join(index_dir, f"tmpstage-{name}-{uuid.uuid4().hex[:8]}")
+    (
+        df.repartitionByRange(max(1, n_parts), *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite").parquet(stage)
+    )
+    return stage
+
+
+class SegmentMerger:
+    """Merges an adjacent run of segments into one, folding tombstones in.
+
+    Doc-id remap per doc_id_merger.rs:27-58; postings rewritten block-wise
+    with no term-keyed payload shuffle (see module docstring).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def merge(self, seg_ids: list[int]) -> dict:
+        t0 = time.time()
+        m = load_manifest(self.index_dir)
+        key_col = m["key_col"]
+        all_ids = [s["segment_id"] for s in m["segments"]]
+        run = sorted(seg_ids)
+        # adjacency in the live segment order preserves global doc order
+        idxs = [all_ids.index(s) for s in run]
+        assert idxs == list(range(idxs[0], idxs[0] + len(idxs))), (
+            f"merge candidates must be adjacent in segment order: {run}")
+        new_seg = run[0]
+
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmeta"))
+        dm_run = dm.filter(F.col("seg").isin(run))
+
+        # --- resolve tombstones → per-seg sorted deleted doc arrays
+        deleted_by_seg: dict[int, np.ndarray] = {}
+        applied_keys: set[str] = set()
+        if has_tombstones(self.index_dir):
+            tomb = self.spark.read.parquet(
+                os.path.join(self.index_dir, TOMBSTONES))
+            hit = (
+                dm_run.join(
+                    F.broadcast(tomb.select(F.col("key").alias("_tk")).distinct()),
+                    F.col(key_col).cast("string") == F.col("_tk"))
+                .select("seg", "doc", "_tk").collect()
+            )
+            for r in hit:
+                deleted_by_seg.setdefault(int(r["seg"]), []).append(int(r["doc"]))
+                applied_keys.add(r["_tk"])
+            deleted_by_seg = {
+                s: np.array(sorted(v), dtype=np.int64)
+                for s, v in deleted_by_seg.items()
+            }
+        n_deleted = int(sum(len(v) for v in deleted_by_seg.values()))
+
+        # --- per-seg doc offsets over live docs, in run order
+        seg_rows = {s["segment_id"]: s for s in m["segments"]}
+        offsets: dict[int, int] = {}
+        base = 0
+        for sid in run:
+            offsets[sid] = base
+            base += int(seg_rows[sid]["docs"]) - len(deleted_by_seg.get(sid, ()))
+        total_live = base
+
+        sc = self.spark.sparkContext
+        b_del = sc.broadcast({s: v for s, v in deleted_by_seg.items()})
+        b_off = sc.broadcast(offsets)
+
+        # block_id re-key: unique + ordered by (seg, block_id) within a term
+        maxb_row = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+            .filter(F.col("seg").isin(run)).agg(F.max("block_id")).first()
+        )
+        maxb = int(maxb_row[0] or 0) + 1
+        seg_rank = {sid: i for i, sid in enumerate(run)}
+        b_rank = sc.broadcast(seg_rank)
+
+        def remap(batches):
+            for pdf in batches:
+                out = {name: [] for name in (
+                    "term", "block_id", "num_docs", "first_doc", "last_doc",
+                    "max_tf", "max_norm_byte", "min_dl", "ttf",
+                    "docs_bin", "tfs_bin", "norms_bin", "dls_bin", "pos_bin")}
+                for row in pdf.itertuples(index=False):
+                    seg = int(row.seg)
+                    n = row.num_docs
+                    docs = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
+                    tfs = unpack_ints(row.tfs_bin, n).astype(np.int64)
+                    dels = b_del.value.get(seg)
+                    if dels is not None and dels.size:
+                        pos_in_del = np.searchsorted(dels, docs)
+                        hit = (pos_in_del < dels.size) & (
+                            dels[np.minimum(pos_in_del, dels.size - 1)] == docs)
+                        keep = ~hit
+                        shift = pos_in_del
+                    else:
+                        keep = np.ones(n, dtype=bool)
+                        shift = np.zeros(n, dtype=np.int64)
+                    if not keep.any():
+                        continue
+                    new_docs = (docs - shift + b_off.value[seg])[keep]
+                    k_tfs = tfs[keep]
+                    norms = unpack_ints(row.norms_bin, n).astype(np.int64)[keep]
+                    dls = unpack_ints(row.dls_bin, n).astype(np.int64)[keep]
+                    if keep.all():
+                        pos_bin = row.pos_bin
+                    else:
+                        plists = unpack_positions(row.pos_bin, tfs)
+                        kept = [p for p, k in zip(plists, keep) if k]
+                        cat = (np.concatenate(kept).astype(np.uint64)
+                               if kept else np.empty(0, dtype=np.uint64))
+                        pos_bin = pack_positions(cat, k_tfs.astype(np.uint64))
+                    out["term"].append(row.term)
+                    out["block_id"].append(
+                        b_rank.value[seg] * maxb + int(row.block_id))
+                    out["num_docs"].append(int(keep.sum()))
+                    out["first_doc"].append(int(new_docs[0]))
+                    out["last_doc"].append(int(new_docs[-1]))
+                    out["max_tf"].append(int(k_tfs.max()))
+                    out["max_norm_byte"].append(int(norms.max()))
+                    out["min_dl"].append(int(dls.min()))
+                    out["ttf"].append(int(k_tfs.sum()))
+                    out["docs_bin"].append(pack_ints(
+                        delta_encode(new_docs.astype(np.uint64))))
+                    out["tfs_bin"].append(pack_ints(k_tfs.astype(np.uint64)))
+                    out["norms_bin"].append(pack_ints(norms.astype(np.uint64)))
+                    out["dls_bin"].append(pack_ints(dls.astype(np.uint64)))
+                    out["pos_bin"].append(pos_bin)
+                if out["term"]:
+                    yield pd.DataFrame(out)
+
+        postings = self.spark.read.parquet(
+            os.path.join(self.index_dir, "postings"))
+        merged = postings.filter(F.col("seg").isin(run)).mapInPandas(
+            remap, _BLOCK_SCHEMA_DDL)
+        n_parts = max(1, len(run))
+        post_stage = _staged_spark_write(
+            merged, self.index_dir, "postings", n_parts, ["term", "block_id"])
+
+        # --- docmeta remap
+        dm_cols = [f for f in dm_run.schema.fieldNames() if f != "seg"]
+
+        def remap_docs(batches):
+            for pdf in batches:
+                for seg, grp in pdf.groupby("seg"):
+                    seg = int(seg)
+                    docs = grp["doc"].to_numpy(dtype=np.int64)
+                    dels = b_del.value.get(seg)
+                    if dels is not None and dels.size:
+                        pos_in_del = np.searchsorted(dels, docs)
+                        hit = (pos_in_del < dels.size) & (
+                            dels[np.minimum(pos_in_del, dels.size - 1)] == docs)
+                        keep = ~hit
+                        shift = pos_in_del
+                    else:
+                        keep = np.ones(len(grp), dtype=bool)
+                        shift = np.zeros(len(grp), dtype=np.int64)
+                    sub = grp[keep].copy()
+                    sub["doc"] = (docs - shift + b_off.value[seg])[keep]
+                    yield sub.drop(columns=["seg"])
+
+        dm_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in dm_run.schema.fields if f.name != "seg")
+        dm_merged = dm_run.mapInPandas(remap_docs, dm_ddl)
+        dm_stage = _staged_spark_write(
+            dm_merged, self.index_dir, "docmeta", n_parts, ["doc"])
+
+        # --- segstats for the new segment, from new block metadata only
+        new_postings = self.spark.read.parquet(post_stage)
+        segstats = (
+            new_postings.groupBy("term")
+            .agg(F.sum("num_docs").alias("df"), F.sum("ttf").alias("ttf"),
+                 F.max("max_tf").alias("max_tf"),
+                 F.max("max_norm_byte").alias("max_norm_byte"),
+                 F.min("min_dl").alias("min_dl"))
+        )
+        ss_stage = _staged_spark_write(
+            segstats, self.index_dir, "segstats", 1, ["term"])
+        stats_counts = self.spark.read.parquet(ss_stage).agg(
+            F.count("*"), F.sum("df")).first()
+        blocks_count = new_postings.count()
+
+        # --- publish: swap stage dirs into place, drop merged inputs
+        for sub, stage in (("postings", post_stage), ("docmeta", dm_stage),
+                           ("segstats", ss_stage)):
+            for sid in run:
+                d = os.path.join(self.index_dir, sub, f"seg={sid}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            os.replace(stage,
+                       os.path.join(self.index_dir, sub, f"seg={new_seg}"))
+
+        # consume applied tombstones
+        if applied_keys:
+            tomb_dir = os.path.join(self.index_dir, TOMBSTONES)
+            remaining = (
+                self.spark.read.parquet(tomb_dir)
+                .filter(~F.col("key").isin(list(applied_keys)))
+                .toPandas()
+            )
+            shutil.rmtree(tomb_dir)
+            if len(remaining):
+                delete_by_keys(self.index_dir, remaining["key"].tolist())
+
+        # --- manifest swap with lineage + metrics (north_rule)
+        keys_mm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmeta", f"seg={new_seg}")
+        ).agg(F.min(F.col(key_col).cast("string")),
+              F.max(F.col(key_col).cast("string")),
+              F.count("*")).first()
+        new_row = {
+            "segment_id": new_seg,
+            "status": "merged",
+            "docs": int(keys_mm[2]),
+            "terms": int(stats_counts[0]),
+            "blocks": blocks_count,
+            "postings": int(stats_counts[1] or 0),
+            "build_secs": time.time() - t0,
+            "min_key": keys_mm[0] or "",
+            "max_key": keys_mm[1] or "",
+            "merged_from": run,
+            "deleted_docs": n_deleted,
+        }
+        assert int(keys_mm[2]) == total_live, (keys_mm[2], total_live)
+        new_segments = [s for s in m["segments"] if s["segment_id"] not in run]
+        new_segments.append(new_row)
+        new_segments.sort(key=lambda s: s["segment_id"])
+        m["segments"] = new_segments
+        m["doc_count"] = int(sum(s["docs"] for s in new_segments))
+        m["sum_ttf"] = write_term_stats(
+            self.spark, self.index_dir, max(1, len(new_segments) // 4))
+        write_manifest(self.index_dir, m)
+        return new_row
+
+
+def maybe_merge(spark: SparkSession, index_dir: str,
+                policy: TieredMergePolicy | None = None,
+                max_merges: int = 100) -> list[dict]:
+    """Run the tiered policy to quiescence (the ConcurrentMergeScheduler
+    loop, merge_scheduler.rs:141-198, minus the thread pool — the cluster
+    scheduler is the concurrency)."""
+    policy = policy or TieredMergePolicy()
+    done = []
+    for _ in range(max_merges):
+        m = load_manifest(index_dir)
+        sizes = segment_sizes(
+            index_dir, [s["segment_id"] for s in m["segments"]])
+        segs = [dict(s, bytes=sizes[s["segment_id"]]) for s in m["segments"]]
+        pick = policy.find_merge(segs)
+        if not pick:
+            break
+        done.append(SegmentMerger(spark, index_dir).merge(pick))
+    return done
+
+
+def force_merge(spark: SparkSession, index_dir: str) -> dict:
+    """Merge every segment into one (IndexWriter::force_merge analogue);
+    folds all resolvable tombstones in."""
+    m = load_manifest(index_dir)
+    ids = [s["segment_id"] for s in m["segments"]]
+    if len(ids) == 1 and not has_tombstones(index_dir):
+        return m["segments"][0]
+    return SegmentMerger(spark, index_dir).merge(ids)

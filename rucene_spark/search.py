@@ -99,6 +99,19 @@ class IndexSearcher:
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._docmeta = spark.read.parquet(os.path.join(index_dir, "docmeta"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        # live docs: tombstones resolved to (seg, doc) once, anti-joined onto
+        # every match frame (live_docs.rs analogue; stats stay stale until
+        # merge squeezes deletes out, exactly like Lucene)
+        self._deleted = None
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(tomb_dir)):
+            tomb = (spark.read.parquet(tomb_dir)
+                    .select(F.col("key").alias("_tk")).distinct())
+            self._deleted = self._docmeta.join(
+                F.broadcast(tomb),
+                F.col(self.key_col).cast("string") == F.col("_tk"),
+            ).select("seg", "doc")
         self._score_t = "float" if scoring == "lucene" else "double"
         self._score_schema = _SCORE_SCHEMA if scoring == "lucene" else _SCORE_SCHEMA64
         self._stats_cache: dict[str, dict] = {}
@@ -107,9 +120,15 @@ class IndexSearcher:
     # public API
     # ------------------------------------------------------------------
 
+    def _live(self, frame: DataFrame) -> DataFrame:
+        """Skip deleted docs (BulkScorer's live_docs check, bulk_scorer.rs)."""
+        if self._deleted is None:
+            return frame
+        return frame.join(F.broadcast(self._deleted), ["seg", "doc"], "left_anti")
+
     def search(self, query: Query, k: int = 10) -> DataFrame:
         """Top-k by (score desc, seg asc, doc asc) joined back to doc keys."""
-        frame = self._frame(query, np.float32(1.0), needs_scores=True)
+        frame = self._live(self._frame(query, np.float32(1.0), needs_scores=True))
         topk = frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
         out = (
             self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
@@ -118,27 +137,29 @@ class IndexSearcher:
         return out
 
     def count(self, query: Query) -> int:
-        # count fast paths (searcher.rs:632-654): no deletes in a fresh index
-        if isinstance(query, MatchAllDocsQuery):
-            return self.doc_count
-        if isinstance(query, TermQuery):
-            stats = self._stats_for([query.term])
-            row = stats.get(query.term)
-            return int(row["df"]) if row else 0
-        return self._frame(query, np.float32(1.0), needs_scores=False).count()
+        # count fast paths apply only without deletes (searcher.rs:632-654)
+        if self._deleted is None:
+            if isinstance(query, MatchAllDocsQuery):
+                return self.doc_count
+            if isinstance(query, TermQuery):
+                stats = self._stats_for([query.term])
+                row = stats.get(query.term)
+                return int(row["df"]) if row else 0
+        return self._live(
+            self._frame(query, np.float32(1.0), needs_scores=False)).count()
 
     def search_sorted(self, query: Query, sort_cols, k: int = 10) -> DataFrame:
         """Top-k by doc-values fields (sort_field.rs:28-110 analogue).
 
         ``sort_cols`` are Column expressions over docmeta columns."""
-        frame = self._frame(query, np.float32(1.0), needs_scores=False)
+        frame = self._live(self._frame(query, np.float32(1.0), needs_scores=False))
         joined = self._docmeta.join(frame.select("seg", "doc"), ["seg", "doc"])
         return joined.orderBy(*sort_cols, "seg", "doc").limit(k)
 
     def collapse(self, query: Query, group_col: str, k: int = 10) -> DataFrame:
         """Field collapsing: best-scoring hit per group value
         (collapse_top_docs.rs:239-326 analogue via window row_number)."""
-        frame = self._frame(query, np.float32(1.0), needs_scores=True)
+        frame = self._live(self._frame(query, np.float32(1.0), needs_scores=True))
         joined = self._docmeta.join(frame, ["seg", "doc"])
         w = Window.partitionBy(group_col).orderBy(F.desc("score"), "seg", "doc")
         return (
@@ -154,7 +175,7 @@ class IndexSearcher:
         """Re-rank the top-``window`` of ``query`` with a second query
         (rescorer.rs:38-130: combined = w1*s1 + w2*s2 on the candidate set)."""
         first = (
-            self._frame(query, np.float32(1.0), needs_scores=True)
+            self._live(self._frame(query, np.float32(1.0), needs_scores=True))
             .orderBy(F.desc("score"), "seg", "doc")
             .limit(window)
             .withColumnRenamed("score", "s1")
@@ -231,8 +252,8 @@ class IndexSearcher:
         # --- pass 1: θ from the strongest term, scored exactly
         driver_term, driver_boost, _ = max(infos, key=lambda x: x[2])
         first = (
-            self._frame(TermQuery("text", driver_term), np.float32(driver_boost),
-                        True, stats)
+            self._live(self._frame(TermQuery("text", driver_term),
+                                   np.float32(driver_boost), True, stats))
             .orderBy(F.desc("score"), "seg", "doc").limit(k).collect()
         )
         theta = float(first[-1]["score"]) if len(first) == k else 0.0
@@ -330,8 +351,9 @@ class IndexSearcher:
             )
 
         topk = (
-            scored.select("seg", "doc", F.col("score").cast(self._score_t)
-                          .alias("score"))
+            self._live(scored.select("seg", "doc",
+                                     F.col("score").cast(self._score_t)
+                                     .alias("score")))
             .orderBy(F.desc("score"), "seg", "doc").limit(k)
         )
         return (

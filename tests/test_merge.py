@@ -1,0 +1,217 @@
+"""Tiered merge + tombstone deletes: results must be invariant under
+compaction, and deletes must behave like Lucene live-docs (hidden at query
+time, squeezed out with stats recomputed at merge)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rucene_spark.build import IndexWriter, load_manifest
+from rucene_spark.merge import (
+    SegmentMerger,
+    TieredMergePolicy,
+    delete_by_keys,
+    force_merge,
+    maybe_merge,
+)
+from rucene_spark.query import BooleanQuery, PhraseQuery, TermQuery
+from rucene_spark.search import IndexSearcher
+from rucene_spark.webtext import make_corpus, term_df_spectrum
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pd.DataFrame:
+    return make_corpus(600, seed=11)
+
+
+@pytest.fixture(scope="module")
+def qterms(corpus):
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    return plain[0], plain[len(plain) // 3], plain[-1]
+
+
+def _build(spark, corpus, d, n_segments=6):
+    IndexWriter(spark, d, n_segments=n_segments).build(
+        spark.createDataFrame(corpus[["url", "text", "lang"]])
+    )
+    return d
+
+
+def _results(searcher, qterms, k=20):
+    hi, mid, rare = qterms
+    out = {}
+    for name, q in {
+        "term": TermQuery("text", hi),
+        "bool": BooleanQuery.build(
+            [], [TermQuery("text", hi), TermQuery("text", mid)], [], []),
+        "rare": TermQuery("text", rare),
+    }.items():
+        rows = searcher.search(q, k).collect()
+        out[name] = [(r["url"], round(float(r["score"]), 5)) for r in rows]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# policy math
+# ---------------------------------------------------------------------------
+
+
+def test_policy_no_merge_when_balanced():
+    p = TieredMergePolicy(floor_segment_bytes=1)
+    segs = [{"segment_id": i, "bytes": 1000} for i in range(4)]
+    assert p.find_merge(segs) is None
+
+
+def test_policy_merges_small_tier():
+    p = TieredMergePolicy(floor_segment_bytes=1, segs_per_tier=2.0,
+                          max_merge_at_once=3)
+    segs = [{"segment_id": i, "bytes": 100} for i in range(8)]
+    pick = p.find_merge(segs)
+    assert pick is not None
+    assert len(pick) <= 3
+    assert pick == sorted(pick)
+    ids = [s["segment_id"] for s in segs]
+    i = ids.index(pick[0])
+    assert pick == ids[i:i + len(pick)]  # adjacent run
+
+
+def test_policy_respects_max_segment():
+    p = TieredMergePolicy(floor_segment_bytes=1, segs_per_tier=1.0,
+                          max_merged_segment_bytes=150)
+    segs = [{"segment_id": i, "bytes": 100} for i in range(6)]
+    pick = p.find_merge(segs)
+    assert pick is None  # any 2-run exceeds 150; singletons aren't merges
+
+
+def test_policy_prefers_delete_heavy():
+    p = TieredMergePolicy(floor_segment_bytes=1, segs_per_tier=1.0)
+    segs = [
+        {"segment_id": 0, "bytes": 100, "del_ratio": 0.0},
+        {"segment_id": 1, "bytes": 100, "del_ratio": 0.0},
+        {"segment_id": 2, "bytes": 100, "del_ratio": 0.5},
+        {"segment_id": 3, "bytes": 100, "del_ratio": 0.5},
+    ]
+    pick = p.find_merge(segs)
+    assert pick == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# merger end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_force_merge_preserves_results(spark, corpus, qterms, tmp_index):
+    _build(spark, corpus, tmp_index)
+    s0 = IndexSearcher(spark, tmp_index)
+    before = _results(s0, qterms)
+    doc_count0, sum_ttf0 = s0.doc_count, s0.sum_ttf
+
+    row = force_merge(spark, tmp_index)
+    m = load_manifest(tmp_index)
+    assert len(m["segments"]) == 1
+    assert row["merged_from"] == list(range(6))
+    assert m["doc_count"] == doc_count0
+    assert m["sum_ttf"] == sum_ttf0
+
+    s1 = IndexSearcher(spark, tmp_index)
+    assert _results(s1, qterms) == before
+
+
+def test_partial_adjacent_merge_preserves_results(spark, corpus, qterms, tmp_index):
+    _build(spark, corpus, tmp_index)
+    before = _results(IndexSearcher(spark, tmp_index), qterms)
+    SegmentMerger(spark, tmp_index).merge([2, 3, 4])
+    m = load_manifest(tmp_index)
+    assert [s["segment_id"] for s in m["segments"]] == [0, 1, 2, 5]
+    assert _results(IndexSearcher(spark, tmp_index), qterms) == before
+
+
+def test_maybe_merge_runs_policy_to_quiescence(spark, corpus, qterms, tmp_index):
+    _build(spark, corpus, tmp_index, n_segments=8)
+    before = _results(IndexSearcher(spark, tmp_index), qterms)
+    done = maybe_merge(
+        spark, tmp_index,
+        TieredMergePolicy(floor_segment_bytes=1 << 30, segs_per_tier=2.0,
+                          max_merge_at_once=4),
+    )
+    assert done, "uniform small segments must trigger at least one merge"
+    m = load_manifest(tmp_index)
+    assert len(m["segments"]) < 8
+    assert _results(IndexSearcher(spark, tmp_index), qterms) == before
+
+
+# ---------------------------------------------------------------------------
+# deletes
+# ---------------------------------------------------------------------------
+
+
+def test_deletes_hidden_then_squeezed(spark, corpus, qterms, tmp_index):
+    hi, mid, _ = qterms
+    _build(spark, corpus, tmp_index, n_segments=4)
+    s0 = IndexSearcher(spark, tmp_index)
+    top = s0.search(TermQuery("text", hi), 5).collect()
+    victims = [r["url"] for r in top[:2]]
+    n_all = s0.count(TermQuery("text", hi))
+
+    delete_by_keys(tmp_index, victims)
+    s1 = IndexSearcher(spark, tmp_index)
+    hits = s1.search(TermQuery("text", hi), 10).collect()
+    assert not {r["url"] for r in hits} & set(victims)
+    # live count drops by exactly the victims (both matched the term)
+    assert s1.count(TermQuery("text", hi)) == n_all - 2
+    # match_all honors deletes via the generic path
+    assert s1.count(__import__("rucene_spark.query", fromlist=["MatchAllDocsQuery"])
+                    .MatchAllDocsQuery()) == len(corpus) - 2
+
+    # squeeze: merge all; tombstones consumed, stats recomputed
+    force_merge(spark, tmp_index)
+    m = load_manifest(tmp_index)
+    assert m["doc_count"] == len(corpus) - 2
+    assert m["segments"][0]["deleted_docs"] == 2
+    from rucene_spark.merge import has_tombstones
+    assert not has_tombstones(tmp_index)
+
+    # the squeezed index must equal a fresh 1-segment build on the
+    # surviving corpus: same global stats → identical scores per url
+    import tempfile, shutil
+    survivors = corpus[~corpus["url"].isin(victims)].reset_index(drop=True)
+    fresh_dir = tempfile.mkdtemp(prefix="rucene_fresh_")
+    try:
+        IndexWriter(spark, fresh_dir, n_segments=1).build(
+            spark.createDataFrame(survivors[["url", "text", "lang"]]))
+        s_m = IndexSearcher(spark, tmp_index)
+        s_f = IndexSearcher(spark, fresh_dir)
+        assert s_m.doc_count == s_f.doc_count
+        assert s_m.sum_ttf == s_f.sum_ttf
+        for q in (TermQuery("text", hi),
+                  BooleanQuery.build([], [TermQuery("text", hi),
+                                          TermQuery("text", mid)], [], [])):
+            # k > corpus size: compare the FULL match sets (a k cut could
+            # split tied scores differently between the two doc orders)
+            rm = {(r["url"], round(float(r["score"]), 5))
+                  for r in s_m.search(q, 1000).collect()}
+            rf = {(r["url"], round(float(r["score"]), 5))
+                  for r in s_f.search(q, 1000).collect()}
+            assert rm == rf
+    finally:
+        shutil.rmtree(fresh_dir, ignore_errors=True)
+
+
+def test_phrase_positions_survive_merge_with_deletes(spark, corpus, tmp_index):
+    # a real bigram from the corpus (same choice rule as the query set)
+    longest = corpus.loc[corpus["text"].str.len().idxmax(), "text"].split(" ")
+    b1, b2 = longest[0], longest[1]
+    _build(spark, corpus, tmp_index, n_segments=4)
+    s0 = IndexSearcher(spark, tmp_index)
+    q = PhraseQuery.build("text", [b1, b2], slop=0)
+    before = [(r["url"], round(float(r["score"]), 5))
+              for r in s0.search(q, 20).collect()]
+    assert before, "bigram must match at least its source doc"
+    # delete an unrelated doc so position repacking paths run with a mask
+    victim = corpus.loc[~corpus["url"].isin([u for u, _ in before]), "url"].iloc[0]
+    delete_by_keys(tmp_index, [victim])
+    force_merge(spark, tmp_index)
+    s1 = IndexSearcher(spark, tmp_index)
+    after_urls = [r["url"] for r in s1.search(q, 20).collect()]
+    assert after_urls == [u for u, _ in before]
