@@ -34,9 +34,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from rucene_spark import ann, dedup, multimodal, textops
 from rucene_spark.build import IndexWriter
 from rucene_spark.query import (
     BooleanQuery,
+    BoostingQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
@@ -240,6 +242,84 @@ def q_querystring_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_blockmax_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    return _topk_out(s.search_blockmax([T_HI, T_MID, T_LO], 10))
+
+
+def q_boosting_topk(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    q = BoostingQuery(TermQuery("text", T_HI), TermQuery("text", T_MID), 0.5)
+    return _topk_out(s.search(q, 10))
+
+
+# --- training-data pipeline ops (dedup / similarity / text / multimodal) ---
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def q_token_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textops.quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_sig(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_cand(spark, sf_dir):
+    return dedup.minhash_candidates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_topk(_docs(spark, sf_dir))
+
+
+def q_simhash_sig(spark, sf_dir):
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir))
+
+
+def q_ann_brute(spark, sf_dir):
+    return ann.ann_bruteforce(_emb(spark, sf_dir), 0)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return ann.lsh_buckets(_emb(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    return ann.ann_lsh(_emb(spark, sf_dir), 0)
+
+
+def q_emb_neardup(spark, sf_dir):
+    return ann.embedding_neardup(_emb(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal.extract_metadata(_docs(spark, sf_dir))
+
+
 # --- general analytics over the TPC-H-ish tables (engine sanity ops) -------
 
 
@@ -299,6 +379,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_by_lang": q_collapse_by_lang,
         "rescore_topk": q_rescore_topk,
         "querystring_topk": q_querystring_topk,
+        "blockmax_topk": q_blockmax_topk,
+        "boosting_topk": q_boosting_topk,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_sig,
+        "minhash_candidates": q_minhash_cand,
+        "ngram_jaccard_topk": q_ngram_jaccard,
+        "simhash_signatures": q_simhash_sig,
+        "simhash_near_pairs": q_simhash_pairs,
+        "ann_bruteforce": q_ann_brute,
+        "lsh_buckets": q_lsh_buckets,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_emb_neardup,
+        "multimodal_meta": q_multimodal_meta,
         "tpch_q1_agg": q_tpch_q1_agg,
         "tpch_join_topk": q_tpch_join_topk,
     }
@@ -513,6 +610,45 @@ FROM grp LEFT JOIN hi USING (doc_id)
 ORDER BY grp.gscore + coalesce(hi.score, 0.0) DESC, grp.doc_id LIMIT 10
 """
     )
+
+    sqls["blockmax_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, round(sum(score), 6) AS score
+FROM sc WHERE term IN ('{T_HI}', '{T_MID}', '{T_LO}')
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id LIMIT 10
+"""
+    )
+
+    sqls["boosting_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id,
+       round(CASE WHEN doc_id IN (SELECT doc_id FROM sc WHERE term = '{T_MID}')
+                  THEN score * 0.5 ELSE score END, 6) AS score
+FROM sc WHERE term = '{T_HI}'
+ORDER BY CASE WHEN doc_id IN (SELECT doc_id FROM sc WHERE term = '{T_MID}')
+              THEN score * 0.5 ELSE score END DESC, doc_id
+LIMIT 10
+"""
+    )
+
+    sqls["token_stats"] = textops.TOKEN_STATS_SQL
+    sqls["quality_scores"] = textops.QUALITY_SQL
+    sqls["lang_id"] = textops.LANG_ID_SQL
+    sqls["fingerprint"] = textops.FINGERPRINT_SQL
+    sqls["exact_dedup"] = dedup.EXACT_DEDUP_SQL
+    sqls["minhash_signatures"] = dedup.MINHASH_SIG_SQL
+    sqls["minhash_candidates"] = dedup.minhash_candidates_sql()
+    sqls["ngram_jaccard_topk"] = dedup.ngram_jaccard_sql()
+    sqls["simhash_signatures"] = dedup.SIMHASH_SIG_SQL
+    sqls["simhash_near_pairs"] = dedup.simhash_near_pairs_sql()
+    sqls["ann_bruteforce"] = ann.ann_bruteforce_sql(0)
+    sqls["lsh_buckets"] = ann.LSH_BUCKETS_SQL
+    sqls["ann_lsh"] = ann.ann_lsh_sql(0)
+    sqls["embedding_neardup"] = ann.embedding_neardup_sql()
+    sqls["multimodal_meta"] = multimodal.EXTRACT_METADATA_SQL
 
     sqls["tpch_q1_agg"] = """
 SELECT l_returnflag, l_linestatus,

@@ -90,13 +90,18 @@ def ann_bruteforce(df: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     )
 
 
-def ann_bruteforce_sql(q: list[float], query_vec_id: int, k: int = 10) -> str:
-    qn = sum(v * v for v in q) ** 0.5
+def ann_bruteforce_sql(query_vec_id: int, k: int = 10) -> str:
+    """Self-contained oracle: the query vector is a scalar subquery, so the
+    SQL needs no literals; double-precision sequential dot products round
+    identically to the Spark plan's aggregate(zip_with(...))."""
     return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {query_vec_id})
 SELECT vec_id,
-       round({_dot_lit_sql('embedding', q)}
-             / ({_norm_sql('embedding')} * {qn!r}), 6) AS cosine
-FROM embeddings
+       round(list_dot_product(embedding::DOUBLE[], q.qv)
+             / ({_norm_sql('embedding')} * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS cosine
+FROM embeddings, q
 WHERE vec_id <> {query_vec_id}
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
@@ -154,18 +159,16 @@ def ann_lsh(df: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     )
 
 
-def ann_lsh_sql(q: list[float], query_vec_id: int, k: int = 10) -> str:
-    qbucket = 0
-    for i, plane in enumerate(PLANES):
-        if sum(p * v for p, v in zip(plane, q)) > 0:
-            qbucket |= 1 << i
-    qn = sum(v * v for v in q) ** 0.5
+def ann_lsh_sql(query_vec_id: int, k: int = 10) -> str:
     return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv, {_bucket_sql()} AS qb
+           FROM embeddings WHERE vec_id = {query_vec_id})
 SELECT vec_id,
-       round({_dot_lit_sql('embedding', q)}
-             / ({_norm_sql('embedding')} * {qn!r}), 6) AS cosine
-FROM embeddings
-WHERE vec_id <> {query_vec_id} AND {_bucket_sql()} = {qbucket}
+       round(list_dot_product(embedding::DOUBLE[], q.qv)
+             / ({_norm_sql('embedding')} * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> {query_vec_id} AND {_bucket_sql()} = q.qb
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
 """

@@ -227,6 +227,7 @@ WITH tok AS (
   FROM documents
 )
 SELECT doc_id,
-       sum({h60_sql("concat(tok, '#', pos)")} % {FP_MOD}) % {FP_MOD} AS fp
+       (sum({h60_sql("concat(tok, '#', pos)")} % {FP_MOD}) % {FP_MOD})::BIGINT
+         AS fp
 FROM tok GROUP BY doc_id ORDER BY doc_id
 """

@@ -1,0 +1,133 @@
+"""Semantic checks for the training-data pipeline operators (the DuckDB
+value-identity gate lives in tools/check_oracle.py; these assert the
+*meaning* on corpora with known duplicates/similarities)."""
+
+import pytest
+
+from rucene_spark import ann, dedup, multimodal, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),                                       # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),             # near dup
+        (3, "completely different content about spark engines and indexes"),
+        (4, "the quick brown fox jumps over the lazy cat again and again"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r["doc_id"]: r for r in dedup.exact_dedup(docs).collect()}
+    assert rows[0]["canonical_id"] == 0 and rows[0]["group_size"] == 2
+    assert rows[1]["canonical_id"] == 0 and rows[1]["group_size"] == 2
+    assert rows[3]["group_size"] == 1
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+           for r in dedup.minhash_signatures(docs).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+
+
+def test_minhash_candidates_rank_near_dups_first(docs):
+    pairs = dedup.minhash_candidates(docs, limit=10).collect()
+    assert pairs, "duplicate docs must collide in at least one band"
+    top = pairs[0]
+    assert (top["doc_a"], top["doc_b"]) == (0, 1)
+    assert top["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_ordering(docs):
+    pairs = dedup.ngram_jaccard_topk(docs, limit=10).collect()
+    ranked = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs]
+    assert ranked[0][:2] == (0, 1) and ranked[0][2] == 1.0
+    j = {(a, b): v for a, b, v in ranked}
+    # near-dup (one word changed) scores below exact but above unrelated
+    assert 0.3 < j.get((0, 2), 0) < 1.0
+    assert (0, 3) not in j or j[(0, 3)] < j[(0, 2)]
+
+
+def test_simhash_identical_zero_hamming(docs):
+    sig = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_signatures(docs).collect()}
+    assert sig[0] == sig[1]
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=60, limit=10).collect()
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert ham.get((0, 1)) == 0
+    near = ham.get((0, 2))
+    assert near is not None and near <= ham.get((0, 3), 61)
+
+
+def test_token_stats_and_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    ts = {r["doc_id"]: r for r in textops.token_stats(df).collect()}
+    assert ts[0]["n_tokens"] == 3
+    assert ts[0]["n_subwords"] == 2 + 1 + 2  # ceil(5/4)+ceil(4/4)+ceil(5/4)
+    fp = {r["doc_id"]: r["fp"] for r in textops.fingerprints(df).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]  # order-sensitive
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat of the mat and it is a cat"),
+         (1, "der hund und die katze das ist ein hund"),
+         (2, "搜索 索引 查询 分词")],
+        "doc_id long, text string",
+    )
+    pred = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id(df).collect()}
+    assert pred == {0: "en", 1: "de", 2: "zh"}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=64).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_bruteforce_finds_planted_neighbor(emb):
+    top = ann.ann_bruteforce(emb, 0, k=3).collect()
+    assert top[0]["vec_id"] == 1
+    assert top[0]["cosine"] > 0.99
+
+
+def test_ann_lsh_subset_of_bruteforce_order(emb):
+    brute = [r["vec_id"] for r in ann.ann_bruteforce(emb, 0, k=40).collect()]
+    lsh = ann.ann_lsh(emb, 0, k=40).collect()
+    lsh_ids = [r["vec_id"] for r in lsh]
+    # LSH results are a subset, in the same relative cosine order
+    assert set(lsh_ids) <= set(brute)
+    assert lsh_ids == [v for v in brute if v in set(lsh_ids)]
+    # the planted near-identical vector lands in the query's bucket
+    assert 1 in lsh_ids
+
+
+def test_lsh_buckets_deterministic(emb):
+    b1 = {r["vec_id"]: r["bucket"] for r in ann.lsh_buckets(emb).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in ann.lsh_buckets(emb).collect()}
+    assert b1 == b2
+    assert b1[0] == b1[1]  # near-identical vectors share the bucket
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    df = spark.createDataFrame([(0, "PNGx hello world")],
+                               "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG")
+    row = multimodal.extract_metadata(df).collect()[0]
+    assert row["n_bytes"] == 16
+    assert row["magic"] == "PNGx"
+    assert row["fake_width"] == ord("P")
+    assert row["fake_height"] == ord("N")
