@@ -47,6 +47,9 @@ def _split_long_token(term: str) -> list[str]:
     """Chunk an over-long token exactly like the reference's read loop:
     append chars until the UTF-8 length reaches >= 511 bytes, then start a
     new token with the next character (whitespace_tokenizer.rs:106-123)."""
+    if term.isascii():  # byte length == char length → plain slicing
+        return [term[i:i + MAX_BYTES_LEN]
+                for i in range(0, len(term), MAX_BYTES_LEN)]
     chunks: list[str] = []
     cur: list[str] = []
     cur_bytes = 0
@@ -60,6 +63,14 @@ def _split_long_token(term: str) -> list[str]:
     if cur:
         chunks.append("".join(cur))
     return chunks
+
+
+def _needs_split(t: str) -> bool:
+    """UTF-8 byte length >= 511, checked cheaply (chars first, bytes only
+    for non-ASCII shorter-than-511-char tokens)."""
+    if len(t) >= MAX_BYTES_LEN:
+        return True
+    return (not t.isascii()) and len(t.encode("utf-8")) >= MAX_BYTES_LEN
 
 
 def whitespace_tokenize(text: str) -> list[tuple[str, int, int, int]]:
@@ -116,8 +127,13 @@ def batch_tokenize(texts, mode: str = "whitespace"):
         if mode == "whitespace":
             if _is_simple(text):
                 terms = [t for t in text.split(" ") if t]
-                if any(len(t) >= MAX_BYTES_LEN for t in terms):
-                    terms = [c for t in terms for c in _split_long_token(t)]
+                if any(_needs_split(t) for t in terms):
+                    # split ONLY the over-long tokens — never route the
+                    # whole doc through the per-char chunker
+                    terms = [
+                        c for t in terms
+                        for c in (_split_long_token(t) if _needs_split(t) else (t,))
+                    ]
             else:
                 terms = [t for (t, _, _, _) in whitespace_tokenize(text)]
         elif mode == "standard":

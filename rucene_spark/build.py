@@ -54,14 +54,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .analysis import batch_tokenize
 from .bm25 import TERM_FREQ_LIMIT
-from .codec import BLOCK_SIZE, delta_encode, pack_ints, pack_positions
+from .codec import BLOCK_SIZE, for_encode, varint_encode_sized
 from .smallfloat import encode_norm_value
 
 MANIFEST = "manifest.json"
 
 _MANIFEST_ROW_SCHEMA = (
     "segment_id long, status string, docs long, terms long, blocks long, "
-    "postings long, build_secs double, min_key string, max_key string"
+    "postings long, ttf long, build_secs double, min_key string, max_key string"
 )
 
 _POSTINGS_PA_SCHEMA = pa.schema(
@@ -143,61 +143,100 @@ def _invert_segment(
     term_starts = np.flatnonzero(new_term[run_starts])
     term_ends = np.append(term_starts[1:], run_starts.size)
 
-    pos_run_offsets = np.concatenate(([0], np.cumsum(tf)))
+    # ---- fully vectorized block assembly: one varint pass per stream for
+    # the whole segment (a per-block encode call would dominate build time —
+    # hundreds of thousands of tiny numpy calls per segment)
+    n_runs = run_starts.size
+    n_terms = term_starts.size
+    runs_per_term = term_ends - term_starts
+    idx_in_term = np.arange(n_runs) - np.repeat(term_starts, runs_per_term)
+    is_blk_start = (idx_in_term % BLOCK_SIZE) == 0
+    blk_starts = np.flatnonzero(is_blk_start)
+    blk_ends = np.append(blk_starts[1:], n_runs)
+    n_blocks = blk_starts.size
+    num_docs = (blk_ends - blk_starts).astype(np.int64)
+    full = num_docs == BLOCK_SIZE
+    block_of_run = np.cumsum(is_blk_start) - 1
 
-    rows = {name: [] for name in _POSTINGS_PA_SCHEMA.names}
-    stat_terms: list[str] = []
-    stat_df: list[int] = []
-    stat_ttf: list[int] = []
-    stat_maxtf: list[int] = []
-    stat_maxnb: list[int] = []
-    stat_mindl: list[int] = []
+    uniq_arr = np.asarray(uniques, dtype=object)
+    blk_terms = uniq_arr[run_term[blk_starts]]
+    blk_block_id = (idx_in_term[blk_starts] // BLOCK_SIZE).astype(np.int64)
 
-    for ts, te in zip(term_starts, term_ends):
-        term = str(uniques[run_term[ts]])
-        docs = run_doc[ts:te]
-        tfs = tf[ts:te]
-        norms = run_norm[ts:te]
-        dls = run_dl[ts:te]
-        stat_terms.append(term)
-        stat_df.append(int(te - ts))
-        stat_ttf.append(int(tfs.sum()))
-        stat_maxtf.append(int(tfs.max()))
-        stat_maxnb.append(int(norms.max()))
-        stat_mindl.append(int(dls.min()))
-        for b0 in range(0, docs.size, BLOCK_SIZE):
-            b1 = min(b0 + BLOCK_SIZE, docs.size)
-            blk_docs = docs[b0:b1].astype(np.uint64)
-            blk_tfs = tfs[b0:b1].astype(np.uint64)
-            blk_norms = norms[b0:b1].astype(np.uint64)
-            blk_dls = dls[b0:b1].astype(np.uint64)
-            p_lo = pos_run_offsets[ts + b0]
-            p_hi = pos_run_offsets[ts + b1]
-            blk_pos = pos_capped[p_lo:p_hi].astype(np.uint64)
-            rows["term"].append(term)
-            rows["block_id"].append(b0 // BLOCK_SIZE)
-            rows["num_docs"].append(b1 - b0)
-            rows["first_doc"].append(int(blk_docs[0]))
-            rows["last_doc"].append(int(blk_docs[-1]))
-            rows["max_tf"].append(int(blk_tfs.max()))
-            rows["max_norm_byte"].append(int(blk_norms.max()))
-            rows["min_dl"].append(int(blk_dls.min()))
-            rows["ttf"].append(int(blk_tfs.sum()))
-            rows["docs_bin"].append(pack_ints(delta_encode(blk_docs)))
-            rows["tfs_bin"].append(pack_ints(blk_tfs))
-            rows["norms_bin"].append(pack_ints(blk_norms))
-            rows["dls_bin"].append(pack_ints(blk_dls))
-            rows["pos_bin"].append(pack_positions(blk_pos, blk_tfs))
+    # in-block doc gaps (first absolute): cross-boundary diffs are
+    # overwritten with the absolute first doc, so wraparound is harmless
+    gaps = np.empty(n_runs, dtype=np.uint64)
+    if n_runs:
+        gaps[0] = run_doc[0]
+        gaps[1:] = (run_doc[1:] - run_doc[:-1]).astype(np.uint64)
+        gaps[blk_starts] = run_doc[blk_starts].astype(np.uint64)
 
-    postings = pd.DataFrame(rows)
+    def encode_stream(vals: np.ndarray) -> list[bytes]:
+        """Per-block bytes: FOR for full 128-blocks, batched varint tail
+        for partials (same bytes as per-block pack_ints)."""
+        out: list[bytes] = [b""] * n_blocks
+        run_is_part = ~full[block_of_run]
+        buf, nbytes = varint_encode_sized(vals[run_is_part])
+        part_idx = np.flatnonzero(~full)
+        part_counts = num_docs[part_idx]
+        v_ends = np.cumsum(part_counts)
+        v_starts = v_ends - part_counts
+        byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+        raw = buf.tobytes()
+        b_lo = byte_off[v_starts]
+        b_hi = byte_off[v_ends]
+        for j in range(part_idx.size):
+            out[part_idx[j]] = b"V" + raw[b_lo[j]:b_hi[j]]
+        for bi in np.flatnonzero(full):
+            s = blk_starts[bi]
+            out[bi] = b"F" + for_encode(vals[s:s + BLOCK_SIZE])
+        return out
+
+    tf_u = tf.astype(np.uint64)
+    # positions: per-doc delta chains (first position absolute), batched
+    pos_u = pos_capped.astype(np.uint64)
+    pdeltas = np.empty(pos_u.size, dtype=np.uint64)
+    if pos_u.size:
+        pdeltas[0] = pos_u[0]
+        pdeltas[1:] = pos_u[1:] - pos_u[:-1]
+        run_pos_starts = np.cumsum(tf) - tf
+        nz = tf > 0
+        pdeltas[run_pos_starts[nz]] = pos_u[run_pos_starts[nz]]
+    else:
+        run_pos_starts = np.zeros(n_runs, dtype=np.int64)
+    pbuf, pnbytes = varint_encode_sized(pdeltas)
+    praw = pbuf.tobytes()
+    pos_offsets = np.append(np.cumsum(tf) - tf, pos_u.size)
+    pbyte_off = np.concatenate(([0], np.cumsum(pnbytes)))
+    p_lo = pbyte_off[pos_offsets[blk_starts]]
+    p_hi = pbyte_off[pos_offsets[blk_ends]]
+    pos_bins = [praw[p_lo[b]:p_hi[b]] for b in range(n_blocks)]
+
+    postings = pd.DataFrame(
+        {
+            "term": blk_terms,
+            "block_id": blk_block_id,
+            "num_docs": num_docs,
+            "first_doc": run_doc[blk_starts],
+            "last_doc": run_doc[blk_ends - 1],
+            "max_tf": np.maximum.reduceat(tf, blk_starts) if n_blocks else [],
+            "max_norm_byte": np.maximum.reduceat(run_norm, blk_starts) if n_blocks else [],
+            "min_dl": np.minimum.reduceat(run_dl, blk_starts) if n_blocks else [],
+            "ttf": np.add.reduceat(tf, blk_starts) if n_blocks else [],
+            "docs_bin": encode_stream(gaps),
+            "tfs_bin": encode_stream(tf_u),
+            "norms_bin": encode_stream(run_norm.astype(np.uint64)),
+            "dls_bin": encode_stream(run_dl.astype(np.uint64)),
+            "pos_bin": pos_bins,
+        }
+    )
     segstats = pd.DataFrame(
         {
-            "term": stat_terms,
-            "df": np.array(stat_df, dtype=np.int64),
-            "ttf": np.array(stat_ttf, dtype=np.int64),
-            "max_tf": np.array(stat_maxtf, dtype=np.int64),
-            "max_norm_byte": np.array(stat_maxnb, dtype=np.int64),
-            "min_dl": np.array(stat_mindl, dtype=np.int64),
+            "term": uniq_arr[run_term[term_starts]],
+            "df": runs_per_term.astype(np.int64),
+            "ttf": np.add.reduceat(tf, term_starts).astype(np.int64),
+            "max_tf": np.maximum.reduceat(tf, term_starts).astype(np.int64),
+            "max_norm_byte": np.maximum.reduceat(run_norm, term_starts).astype(np.int64),
+            "min_dl": np.minimum.reduceat(run_dl, term_starts).astype(np.int64),
         }
     )
     return postings, docmeta, segstats
@@ -270,6 +309,7 @@ def _build_segment_files(
         "terms": len(segstats),
         "blocks": len(postings),
         "postings": int(segstats["df"].sum()) if len(segstats) else 0,
+        "ttf": int(segstats["ttf"].sum()) if len(segstats) else 0,
         "build_secs": time.time() - t0,
         "min_key": keys.min() if len(keys) else "",
         "max_key": keys.max() if len(keys) else "",
@@ -321,6 +361,50 @@ class IndexWriter:
             raise ValueError(self.partitioner)
         return df.withColumn("segment_id", seg.cast("long"))
 
+    def add_documents(self, df: DataFrame, n_segments: int | None = None) -> dict:
+        """Append new delta segments to an existing index — the Spark
+        analogue of rucene's NRT story (new docs become new segments
+        published by a commit; index_writer.rs:376,677). Readers opened
+        after the manifest swap see the new docs; global term/collection
+        stats are re-aggregated over all segments.
+        """
+        m = load_manifest(self.index_dir)
+        base = max(s["segment_id"] for s in m["segments"]) + 1
+        n_new = n_segments or self.n_segments
+
+        extra = [
+            f.name for f in df.schema.fields
+            if f.name not in (self.key_col, self.text_col)
+            and f.dataType.typeName() != "binary"
+        ]
+        key = F.col(self.key_col)
+        seg = (F.crc32(F.encode(key.cast("string"), "UTF-8")) % n_new
+               + F.lit(base)).cast("long")
+        src = df.select(self.key_col, self.text_col, *extra).withColumn(
+            "segment_id", seg)
+
+        index_dir, text_col, key_col, analyzer = (
+            self.index_dir, self.text_col, self.key_col, self.analyzer)
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _build_segment_files(pdf, index_dir, text_col, key_col, analyzer)
+
+        rows = (src.groupBy("segment_id")
+                .applyInPandas(fn, _MANIFEST_ROW_SCHEMA).collect())
+        new_rows = sorted((r.asDict() for r in rows),
+                          key=lambda r: r["segment_id"])
+        for r in new_rows:
+            r["status"] = "delta"
+
+        m["segments"] = m["segments"] + new_rows
+        m["doc_count"] = int(sum(s["docs"] for s in m["segments"]))
+        # authoritative recompute over all segments' stat partials (older
+        # manifest rows may predate the per-row ttf field)
+        m["sum_ttf"] = write_term_stats(
+            self.spark, self.index_dir, max(1, len(m["segments"]) // 4))
+        write_manifest(self.index_dir, m)
+        return m
+
     def build(self, df: DataFrame) -> dict:
         os.makedirs(self.index_dir, exist_ok=True)
         if self.store_cols is not None:
@@ -352,9 +436,11 @@ class IndexWriter:
         )
         seg_rows = sorted((r.asDict() for r in rows), key=lambda r: r["segment_id"])
 
-        sum_ttf = write_term_stats(
-            self.spark, self.index_dir, max(1, self.n_segments // 4)
-        )
+        write_term_stats(self.spark, self.index_dir,
+                         max(1, self.n_segments // 4))
+        # collection stats come from the per-segment partials already in the
+        # manifest rows — no extra job over term_stats
+        sum_ttf = int(sum(r["ttf"] for r in seg_rows))
         doc_count = int(sum(r["docs"] for r in seg_rows))
 
         manifest = {
@@ -377,11 +463,16 @@ def write_term_stats(spark: SparkSession, index_dir: str, n_parts: int) -> int:
     table; returns the collection sum_total_term_freq.
 
     The per-segment pre-aggregation is the skew guard: a hot term enters
-    this shuffle with at most one partial row per segment.
+    this shuffle with at most one partial row per segment. Output files are
+    term-sorted within the groupBy's hash partitioning (no extra
+    range-sampling pass), which keeps Parquet row-group pruning for the
+    searcher's ``term IN (...)`` stats lookups.
     """
     segstats = spark.read.parquet(os.path.join(index_dir, "segstats"))
     term_stats = (
-        segstats.groupBy("term")
+        segstats
+        .repartition(max(1, n_parts), "term")
+        .groupBy("term")
         .agg(
             F.sum("df").alias("df"),
             F.sum("ttf").alias("ttf"),
@@ -389,7 +480,6 @@ def write_term_stats(spark: SparkSession, index_dir: str, n_parts: int) -> int:
             F.max("max_norm_byte").alias("max_norm_byte"),
             F.min("min_dl").alias("min_dl"),
         )
-        .repartitionByRange(max(1, n_parts), "term")
         .sortWithinPartitions("term")
     )
     ts_dir = os.path.join(index_dir, "term_stats")

@@ -36,11 +36,14 @@ ALL_VALUES_EQUAL = 0  # for_util.rs:29
 # ---------------------------------------------------------------------------
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a uint array as concatenated vints (data_output.rs vint)."""
+def varint_encode_sized(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized vint encode of a whole value stream at once; returns
+    (uint8 byte stream, bytes-per-value) so callers can slice per-block
+    spans without re-encoding (the per-block call overhead dominates
+    otherwise — one segment packs hundreds of thousands of blocks)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     bitlen = np.where(v == 0, 1, 64 - _clz64(v))
     nbytes = (bitlen + 6) // 7
     total = int(nbytes.sum())
@@ -53,6 +56,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         more = (nbytes[mask] - 1) > i
         out[offs[mask] + i] = byte | (more.astype(np.uint8) << 7)
         rem[mask] >>= np.uint64(7)
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint array as concatenated vints (data_output.rs vint)."""
+    out, _ = varint_encode_sized(values)
     return out.tobytes()
 
 
@@ -97,7 +106,7 @@ def for_encode(values: np.ndarray) -> bytes:
     assert v.size == BLOCK_SIZE, v.size
     if (v == v[0]).all():
         return bytes([ALL_VALUES_EQUAL]) + varint_encode(v[:1])
-    bpv = int(64 - _clz64(np.array([max(1, int(v.max()))], dtype=np.uint64))[0])
+    bpv = max(1, int(v.max())).bit_length()
     bits = ((v[:, None] >> np.arange(bpv, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
     flat = bits.reshape(-1)  # value-major, LSB-first
     pad = (-flat.size) % 8

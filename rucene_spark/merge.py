@@ -373,7 +373,7 @@ class SegmentMerger:
         ss_stage = _staged_spark_write(
             segstats, self.index_dir, "segstats", 1, ["term"])
         stats_counts = self.spark.read.parquet(ss_stage).agg(
-            F.count("*"), F.sum("df")).first()
+            F.count("*"), F.sum("df"), F.sum("ttf")).first()
         blocks_count = new_postings.count()
 
         # --- publish: swap stage dirs into place, drop merged inputs
@@ -411,6 +411,7 @@ class SegmentMerger:
             "terms": int(stats_counts[0]),
             "blocks": blocks_count,
             "postings": int(stats_counts[1] or 0),
+            "ttf": int(stats_counts[2] or 0),
             "build_secs": time.time() - t0,
             "min_key": keys_mm[0] or "",
             "max_key": keys_mm[1] or "",

@@ -362,6 +362,105 @@ class IndexSearcher:
         )
 
     # ------------------------------------------------------------------
+    # explain
+    # ------------------------------------------------------------------
+
+    def explain(self, query: Query, seg: int, doc: int) -> dict:
+        """Structured score breakdown for one (seg, doc) — the reference's
+        ``Explanation`` tree (bm25_similarity.rs:265-361, explanation.rs):
+        nested ``{value, description, details}`` dicts, float32 faithful in
+        "lucene" mode."""
+        if isinstance(query, TermQuery):
+            return self._explain_term(query, np.float32(1.0), seg, doc)
+        if isinstance(query, BoostQuery):
+            if isinstance(query.query, TermQuery):
+                return self._explain_term(
+                    query.query, np.float32(query.boost), seg, doc)
+            inner = self.explain(query.query, seg, doc)
+            inner["value"] = float(
+                np.float32(inner["value"] * np.float32(query.boost)))
+            return inner
+        if isinstance(query, BooleanQuery):
+            details = []
+            for sub in query.musts + query.shoulds:
+                e = self.explain(sub, seg, doc)
+                if e["match"]:
+                    details.append(e)
+            value = float(np.float32(np.float64(
+                sum(d["value"] for d in details))))
+            return {
+                "match": bool(details),
+                "value": value if details else 0.0,
+                "description": "sum of:",
+                "details": details,
+            }
+        raise TypeError(f"explain unsupported for {type(query)}")
+
+    def _explain_term(self, q: TermQuery, boost: np.float32,
+                      seg: int, doc: int) -> dict:
+        from .smallfloat import NORM_TABLE
+
+        stats = self._stats_for([q.term])
+        row = stats.get(q.term)
+        df_ = int(row["df"]) if row else 0
+        hit = None
+        if df_:
+            blocks = self._postings.filter(
+                (F.col("term") == q.term) & (F.col("seg") == seg)
+                & (F.col("first_doc") <= doc) & (F.col("last_doc") >= doc)
+            ).collect()
+            for b in blocks:
+                d = delta_decode(unpack_ints(b["docs_bin"], b["num_docs"]))
+                idx = np.flatnonzero(d == doc)
+                if idx.size:
+                    tfs = unpack_ints(b["tfs_bin"], b["num_docs"])
+                    nbs = unpack_ints(b["norms_bin"], b["num_docs"])
+                    hit = (int(tfs[idx[0]]), int(nbs[idx[0]]))
+                    break
+        if hit is None:
+            return {"match": False, "value": 0.0,
+                    "description": f"no matching term term={q.term}",
+                    "details": []}
+        freq, nb = hit
+        total_boost = np.float32(boost * np.float32(q.boost))
+        idf = idf32(df_, self.doc_count)
+        field_len = float(NORM_TABLE[nb])
+        tf_norm = np.float32(
+            (np.float32(freq) * (K1 + np.float32(1.0)))
+            / (np.float32(freq) + self.cache[nb]))
+        value = float(np.float32(np.float32(idf * total_boost)
+                                 * (K1 + np.float32(1.0)) * np.float32(freq)
+                                 / (np.float32(freq) + self.cache[nb])))
+        return {
+            "match": True,
+            "value": value,
+            "description": f"score(doc={doc},freq={freq}), product of:",
+            "details": [
+                {"value": float(idf),
+                 "description": "idf, computed as log(1 + (docCount - docFreq"
+                                " + 0.5) / (docFreq + 0.5)) from:",
+                 "details": [
+                     {"value": float(df_), "description": "docFreq", "details": []},
+                     {"value": float(self.doc_count), "description": "docCount",
+                      "details": []},
+                 ]},
+                {"value": float(tf_norm),
+                 "description": "tfNorm, computed as (freq * (k1 + 1)) / (freq"
+                                " + k1 * (1 - b + b * fieldLength /"
+                                " avgFieldLength)) from:",
+                 "details": [
+                     {"value": float(freq), "description": "termFreq", "details": []},
+                     {"value": 1.2, "description": "parameter k1", "details": []},
+                     {"value": 0.75, "description": "parameter b", "details": []},
+                     {"value": float(self.avgdl),
+                      "description": "avgFieldLength", "details": []},
+                     {"value": field_len, "description": "fieldLength",
+                      "details": []},
+                 ]},
+            ],
+        }
+
+    # ------------------------------------------------------------------
     # stats
     # ------------------------------------------------------------------
 

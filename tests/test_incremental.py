@@ -1,0 +1,84 @@
+"""Incremental (delta-segment) index appends and score explanations."""
+
+import numpy as np
+import pytest
+
+from rucene_spark.build import IndexWriter, load_manifest
+from rucene_spark.query import BooleanQuery, TermQuery
+from rucene_spark.search import IndexSearcher
+from rucene_spark.webtext import make_corpus, term_df_spectrum
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(600, seed=21)
+
+
+@pytest.fixture(scope="module")
+def hi_mid(corpus):
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    return plain[0], plain[len(plain) // 3]
+
+
+def test_add_documents_equals_fresh_build(spark, corpus, hi_mid, tmp_index):
+    hi, mid = hi_mid
+    a = corpus.iloc[:400].reset_index(drop=True)
+    b = corpus.iloc[400:].reset_index(drop=True)
+
+    w = IndexWriter(spark, tmp_index, n_segments=4)
+    w.build(spark.createDataFrame(a[["url", "text", "lang"]]))
+    m = w.add_documents(spark.createDataFrame(b[["url", "text", "lang"]]),
+                        n_segments=2)
+    assert m["doc_count"] == 600
+    assert [s["status"] for s in m["segments"]].count("delta") == 2
+    # delta segments sort after the originals → stable global doc order
+    assert [s["segment_id"] for s in m["segments"]] == [0, 1, 2, 3, 4, 5]
+
+    import tempfile, shutil
+    fresh = tempfile.mkdtemp(prefix="rucene_fresh_inc_")
+    try:
+        IndexWriter(spark, fresh, n_segments=4).build(
+            spark.createDataFrame(corpus[["url", "text", "lang"]]))
+        s_inc = IndexSearcher(spark, tmp_index)
+        s_fr = IndexSearcher(spark, fresh)
+        assert s_inc.doc_count == s_fr.doc_count
+        assert s_inc.sum_ttf == s_fr.sum_ttf
+        for q in (TermQuery("text", hi),
+                  BooleanQuery.build([], [TermQuery("text", hi),
+                                          TermQuery("text", mid)], [], [])):
+            ri = {(r["url"], np.float32(r["score"]).view(np.int32).item())
+                  for r in s_inc.search(q, 1000).collect()}
+            rf = {(r["url"], np.float32(r["score"]).view(np.int32).item())
+                  for r in s_fr.search(q, 1000).collect()}
+            assert ri == rf
+    finally:
+        shutil.rmtree(fresh, ignore_errors=True)
+
+
+def test_explain_matches_search_score(spark, corpus, hi_mid, tmp_index):
+    hi, mid = hi_mid
+    IndexWriter(spark, tmp_index, n_segments=4).build(
+        spark.createDataFrame(corpus[["url", "text", "lang"]]))
+    s = IndexSearcher(spark, tmp_index)
+
+    top = s.search(TermQuery("text", hi), 3).collect()
+    for r in top:
+        e = s.explain(TermQuery("text", hi), r["seg"], r["doc"])
+        assert e["match"]
+        assert np.float32(e["value"]).view(np.int32) == \
+            np.float32(r["score"]).view(np.int32)
+        descs = [d["description"] for d in e["details"]]
+        assert any(d.startswith("idf") for d in descs)
+        assert any(d.startswith("tfNorm") for d in descs)
+
+    q = BooleanQuery.build([], [TermQuery("text", hi), TermQuery("text", mid)],
+                           [], [])
+    top = s.search(q, 3).collect()
+    for r in top:
+        e = s.explain(q, r["seg"], r["doc"])
+        assert e["match"]
+        assert abs(e["value"] - float(r["score"])) < 1e-5
+
+    miss = s.explain(TermQuery("text", "tzzzzzz"), 0, 0)
+    assert not miss["match"] and miss["value"] == 0.0
