@@ -242,6 +242,38 @@ def q_querystring_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_highlight_topk(spark, sf_dir):
+    from rucene_spark.highlight import highlight_term
+
+    s = _index_for(spark, sf_dir)
+    out = highlight_term(s, _docs(spark, sf_dir), T_HI, 10)
+    return out.select("doc_id", "score", "snippet")
+
+
+def q_exists_count(spark, sf_dir):
+    from rucene_spark.query import ExistsQuery
+
+    s = _index_for(spark, sf_dir)
+    return spark.createDataFrame([(s.count(ExistsQuery("lang")),)], "cnt long")
+
+
+def q_filter_query_topk(spark, sf_dir):
+    from rucene_spark.query import FilterQuery
+
+    s = _index_for(spark, sf_dir)
+    q = FilterQuery(TermQuery("text", T_MID), F.col("n_chars") % 100 < 50)
+    return _topk_out(s.search(q, 10))
+
+
+def q_sloppy_phrase_topk(spark, sf_dir):
+    # no ANSI-SQL oracle (sloppy-freq 1/(distance+1) accumulation is not
+    # SQL-expressible); the driver records the weaker rows-only check and
+    # tests/test_engine_parity.py bit-checks it against the oracle engine
+    s = _index_for(spark, sf_dir)
+    q = PhraseQuery.build("text", [PH_A, PH_B], slop=2)
+    return _topk_out(s.search(q, 10))
+
+
 def q_blockmax_topk(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     return _topk_out(s.search_blockmax([T_HI, T_MID, T_LO], 10))
@@ -381,6 +413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_topk": q_querystring_topk,
         "blockmax_topk": q_blockmax_topk,
         "boosting_topk": q_boosting_topk,
+        "highlight_topk": q_highlight_topk,
+        "exists_count": q_exists_count,
+        "filter_query_topk": q_filter_query_topk,
+        "sloppy_phrase_topk": q_sloppy_phrase_topk,
         "token_stats": q_token_stats,
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
@@ -631,6 +667,31 @@ FROM sc WHERE term = '{T_HI}'
 ORDER BY CASE WHEN doc_id IN (SELECT doc_id FROM sc WHERE term = '{T_MID}')
               THEN score * 0.5 ELSE score END DESC, doc_id
 LIMIT 10
+"""
+    )
+
+    from rucene_spark.highlight import highlight_term_sql
+
+    sqls["highlight_topk"] = (
+        _BM25_CTE
+        + f""", hits AS (
+  SELECT doc_id, score FROM sc WHERE term = '{T_HI}'
+  ORDER BY score DESC, doc_id LIMIT 10)
+"""
+        + highlight_term_sql(T_HI)
+    )
+
+    sqls["exists_count"] = (
+        "SELECT count(*)::BIGINT AS cnt FROM documents WHERE lang IS NOT NULL"
+    )
+
+    sqls["filter_query_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT sc.doc_id, round(score, 6) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE term = '{T_MID}' AND d.n_chars % 100 < 50
+ORDER BY score DESC, sc.doc_id LIMIT 10
 """
     )
 

@@ -152,6 +152,158 @@ def batch_tokenize(texts, mode: str = "whitespace"):
     return np.concatenate(doc_idx), np.concatenate(all_terms), np.concatenate(all_pos)
 
 
+# --- Arrow-native factorized tokenization (the segment builder's hot path) --
+
+# Rust char::is_whitespace chars OTHER than the plain ASCII space — a doc
+# containing any of these needs the reference-shaped python tokenizer
+_EXOTIC_WS_RE = (
+    "[\\t\\n\\x0b\\x0c\\r\\x85\\xa0\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+)
+
+
+def tokenize_factorized(texts, mode: str = "whitespace"):
+    """Tokenize + factorize a batch in Arrow C++ → ``(doc_idx, codes,
+    uniques, positions)`` where ``codes`` indexes the lexicographically
+    sorted ``uniques`` (exactly ``pd.factorize(sort=True)`` semantics).
+
+    The hot path never materializes Python string objects: split,
+    flatten, dictionary-encode and byte-length checks are pyarrow compute
+    kernels; only the (rare) over-long *unique* tokens and exotic-
+    whitespace documents touch Python. Over-long tokens are expanded into
+    their 511-byte chunks in-stream via integer gather/repeat, preserving
+    the reference's consecutive-position semantics
+    (whitespace_tokenizer.rs:106-123).
+    """
+    if mode != "whitespace":
+        di, terms, pos = batch_tokenize(texts, mode=mode)
+        codes, uniques = _factorize_sorted(terms)
+        return di, codes, uniques, pos
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(list(texts), type=pa.string())
+    exotic = pc.match_substring_regex(arr, _EXOTIC_WS_RE)
+    is_simple = pc.and_kleene(pc.is_valid(arr), pc.invert(exotic))
+    simple_np = is_simple.to_numpy(zero_copy_only=False)
+    simple_np = np.asarray(simple_np, dtype=bool)
+    idx_map = np.flatnonzero(simple_np)
+
+    # ---- Arrow path for simple docs
+    sub = arr.filter(pa.array(simple_np))
+    if len(sub):
+        splits = pc.split_pattern(sub, " ")
+        flat = pc.list_flatten(splits)
+        parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keep = np.asarray(keep, dtype=bool)
+        flat_f = flat.filter(pa.array(keep))
+        parents_f = parents[keep].astype(np.int64)
+        denc = pc.dictionary_encode(flat_f)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        idx_f = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_np = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+        byte_lens = pc.binary_length(denc.dictionary).to_numpy(
+            zero_copy_only=False)
+        long_codes = np.flatnonzero(byte_lens >= MAX_BYTES_LEN)
+    else:
+        idx_f = np.empty(0, dtype=np.int64)
+        parents_f = np.empty(0, dtype=np.int64)
+        dict_np = np.empty(0, dtype=object)
+        long_codes = np.empty(0, dtype=np.int64)
+
+    # replacement strings per dictionary code (chunks for over-long tokens)
+    rep_strings: list[list] = [None] * dict_np.size  # type: ignore[list-item]
+    long_set = set(long_codes.tolist())
+    for c in long_codes:
+        rep_strings[c] = _split_long_token(dict_np[c])
+
+    # ---- python path for exotic docs
+    py_di: list[np.ndarray] = []
+    py_terms: list[np.ndarray] = []
+    py_pos: list[np.ndarray] = []
+    for i in np.flatnonzero(~simple_np):
+        t = texts[i]
+        if t is None:
+            continue
+        toks = [tok for (tok, _, _, _) in whitespace_tokenize(t)]
+        if not toks:
+            continue
+        py_di.append(np.full(len(toks), i, dtype=np.int64))
+        py_terms.append(np.asarray(toks, dtype=object))
+        py_pos.append(np.arange(len(toks), dtype=np.int64))
+    terms_c = (np.concatenate(py_terms) if py_terms
+               else np.empty(0, dtype=object))
+
+    # ---- unified sorted vocabulary (long originals excluded — they are
+    # never emitted, only their chunks are)
+    normal_strings = (dict_np[[c for c in range(dict_np.size)
+                               if c not in long_set]]
+                      if dict_np.size else dict_np)
+    chunk_strings = [s for c in long_codes for s in rep_strings[c]]
+    parts = [p for p in (normal_strings,
+                         np.asarray(chunk_strings, dtype=object), terms_c)
+             if len(p)]
+    if not parts:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, np.empty(0, dtype=object), empty
+    uniques = np.unique(np.concatenate(parts))
+
+    # ---- expand over-long occurrences and map to final codes
+    if dict_np.size:
+        rep_counts = np.ones(dict_np.size, dtype=np.int64)
+        for c in long_codes:
+            rep_counts[c] = len(rep_strings[c])
+        rep_offsets = np.concatenate(([0], np.cumsum(rep_counts)))
+        rep_codes = np.empty(int(rep_offsets[-1]), dtype=np.int64)
+        base_new = np.searchsorted(uniques, dict_np)
+        for c in range(dict_np.size):
+            if c in long_set:
+                rep_codes[rep_offsets[c]:rep_offsets[c + 1]] = (
+                    np.searchsorted(uniques, np.asarray(rep_strings[c],
+                                                        dtype=object)))
+            else:
+                rep_codes[rep_offsets[c]] = base_new[c]
+
+        exp = rep_counts[idx_f]
+        n_new = int(exp.sum())
+        parents_e = np.repeat(parents_f, exp)
+        within = np.arange(n_new) - np.repeat(
+            np.concatenate(([0], np.cumsum(exp)[:-1])), exp)
+        codes_f = rep_codes[rep_offsets[idx_f].repeat(exp) + within]
+        # per-doc positions: rank within parent (parents are ascending)
+        if n_new:
+            starts = np.concatenate(
+                ([0], np.flatnonzero(parents_e[1:] != parents_e[:-1]) + 1))
+            counts = np.diff(np.append(starts, n_new))
+            pos_f = np.arange(n_new) - np.repeat(starts, counts)
+        else:
+            pos_f = np.empty(0, dtype=np.int64)
+        di_f = idx_map[parents_e]
+    else:
+        codes_f = np.empty(0, dtype=np.int64)
+        pos_f = np.empty(0, dtype=np.int64)
+        di_f = np.empty(0, dtype=np.int64)
+
+    if terms_c.size:
+        codes_c = np.searchsorted(uniques, terms_c)
+        di = np.concatenate([di_f, np.concatenate(py_di)])
+        codes = np.concatenate([codes_f, codes_c])
+        pos = np.concatenate([pos_f, np.concatenate(py_pos)])
+    else:
+        di, codes, pos = di_f, codes_f, pos_f
+    return di, codes, uniques, pos
+
+
+def _factorize_sorted(terms: np.ndarray):
+    import pandas as pd
+
+    codes, uniques = pd.factorize(terms, sort=True)
+    return codes.astype(np.int64), np.asarray(uniques, dtype=object)
+
+
 # --- StandardAnalyzer-approximate mode (our addition; see module docstring) --
 
 _WORD_RE = re.compile(

@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .analysis import batch_tokenize
+from .analysis import tokenize_factorized
 from .bm25 import TERM_FREQ_LIMIT
 from .codec import BLOCK_SIZE, for_encode, varint_encode_sized
 from .smallfloat import encode_norm_value
@@ -90,7 +90,7 @@ def _invert_segment(
     """Pure-numpy inversion of one segment → (postings, docmeta, segstats)."""
     pdf = pdf.sort_values(key_col, kind="stable").reset_index(drop=True)
     texts = pdf[text_col].tolist()
-    di, terms, pos = batch_tokenize(texts, mode=analyzer)
+    di, codes, uniques, pos = tokenize_factorized(texts, mode=analyzer)
 
     n_docs = len(pdf)
     lens = np.zeros(n_docs, dtype=np.int64)
@@ -112,9 +112,8 @@ def _invert_segment(
         )
         return empty, docmeta, stats
 
-    # invert: sort token stream by (term, doc, position); terms are
-    # factorized to sorted int codes first (object-dtype lexsort is slow)
-    codes, uniques = pd.factorize(terms, sort=True)
+    # invert: sort token stream by (term, doc, position) — terms arrive
+    # already factorized to sorted int codes (tokenize_factorized)
     order = np.lexsort((pos, di, codes))
     t_s, d_s, p_s = codes[order], di[order], pos[order]
     # run starts of (term, doc) pairs

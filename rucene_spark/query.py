@@ -201,6 +201,20 @@ class ExistsQuery(Query):
         return f"ExistsQuery(column: {self.column})"
 
 
+@dataclass
+class FilterQuery(Query):
+    """Wraps a query with an extra per-doc predicate applied after candidate
+    generation (filter_query.rs:28-52 — FilterFunction analogue). The
+    predicate is either a Spark Column expression over docmeta columns, or a
+    pandas-batch callable ``fn(pdf) -> bool mask`` (run via an Arrow UDF)."""
+
+    query: Query
+    predicate: object  # pyspark Column or callable(pd.DataFrame)->mask
+
+    def __str__(self) -> str:
+        return f"FilterQuery(query: {self.query})"
+
+
 # ---------------------------------------------------------------------------
 # query-string parser (query_string.rs:28-250)
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     ExistsQuery,
+    FilterQuery,
     MatchAllDocsQuery,
     PhraseQuery,
     Query,
@@ -484,7 +485,7 @@ class IndexSearcher:
             return list(q.terms)
         if isinstance(q, BooleanQuery):
             subs = q.musts + q.shoulds + q.filters + q.must_nots
-        elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        elif isinstance(q, (BoostQuery, ConstantScoreQuery, FilterQuery)):
             subs = [q.query]
         elif isinstance(q, DisjunctionMaxQuery):
             subs = q.disjuncts
@@ -530,6 +531,24 @@ class IndexSearcher:
             s = float(np.float32(boost))
             return self._docmeta.filter(F.col(q.column).isNotNull()).select(
                 "seg", "doc", F.lit(s).cast(self._score_t).alias("score"))
+        if isinstance(q, FilterQuery):
+            # candidate generation first, expensive per-doc predicate after
+            # (two-phase iteration, filter_query.rs:28-52)
+            inner = self._frame(q.query, boost, needs_scores, stats)
+            joined = inner.join(self._docmeta, ["seg", "doc"])
+            if callable(q.predicate):
+                schema = self._score_schema
+                pred = q.predicate
+
+                def fn(batches):
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        mask = np.asarray(pred(pdf), dtype=bool)
+                        yield pdf.loc[mask, ["seg", "doc", "score"]]
+
+                return joined.mapInPandas(fn, schema)
+            return joined.filter(q.predicate).select("seg", "doc", "score")
         if isinstance(q, BooleanQuery):
             return self._boolean_frame(q, boost, needs_scores, stats)
         if isinstance(q, PhraseQuery):

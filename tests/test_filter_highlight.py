@@ -1,0 +1,65 @@
+"""FilterQuery (column + pandas-callable predicates) and highlighting."""
+
+import pytest
+
+from rucene_spark.build import IndexWriter
+from rucene_spark.highlight import highlight_term
+from rucene_spark.query import FilterQuery, TermQuery
+from rucene_spark.search import IndexSearcher
+from rucene_spark.webtext import make_corpus, term_df_spectrum
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    corpus = make_corpus(400, seed=31)
+    d = str(tmp_path_factory.mktemp("fh_idx"))
+    docs = spark.createDataFrame(corpus.drop(columns=["html"]))
+    IndexWriter(spark, d, n_segments=4).build(docs)
+    dfs = term_df_spectrum(corpus)
+    hi = next(t for t in dfs.index if t.startswith("t0"))
+    return IndexSearcher(spark, d), docs, hi
+
+
+def test_filter_query_column_predicate(spark, setup):
+    from pyspark.sql import functions as F
+
+    s, docs, hi = setup
+    base = {r["url"] for r in s.search(TermQuery("text", hi), 1000).collect()}
+    q = FilterQuery(TermQuery("text", hi), F.col("lang") == "en")
+    got = s.search(q, 1000).collect()
+    assert got, "en docs matching the head term must exist"
+    assert {r["url"] for r in got} <= base
+    assert all(r["lang"] == "en" for r in got)
+
+
+def test_filter_query_pandas_predicate(spark, setup):
+    s, docs, hi = setup
+    q = FilterQuery(TermQuery("text", hi),
+                    lambda pdf: pdf["doc_len"] % 2 == 0)
+    got = s.search(q, 1000).collect()
+    assert got
+    assert all(r["doc_len"] % 2 == 0 for r in got)
+    # scores must equal the unfiltered query's scores for the same docs
+    base = {r["url"]: r["score"]
+            for r in s.search(TermQuery("text", hi), 1000).collect()}
+    for r in got:
+        assert r["score"] == base[r["url"]]
+
+
+def test_highlight_wraps_first_match_window(spark, setup):
+    s, docs, hi = setup
+    rows = highlight_term(s, docs, hi, k=5, window=2).collect()
+    assert len(rows) == 5
+    for r in rows:
+        snippet = r["snippet"]
+        assert f"<b>{hi}</b>" in snippet
+        toks = snippet.split(" ")
+        assert len(toks) <= 5  # window 2 + match + window 2
+        # the wrapped token is the first occurrence in the source doc
+        src = next(d["text"] for d in docs.collect() if d["url"] == r["url"])
+        src_toks = src.split(" ")
+        i = src_toks.index(hi)
+        lo = max(0, i - 2)
+        expect = [f"<b>{t}</b>" if t == hi else t
+                  for t in src_toks[lo:i + 3]]
+        assert toks == expect
