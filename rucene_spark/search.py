@@ -754,6 +754,11 @@ class IndexSearcher:
         return scan.mapInPandas(fn, _PHRASE_SCHEMA)
 
     def _phrase_frame(self, q: PhraseQuery, boost: np.float32, stats: dict) -> DataFrame:
+        """ONE postings scan for all phrase terms (``term IN (...)`` pushed
+        down), one decode stage, one shuffle to align per-doc position
+        lists, then the vectorized phrase kernels — the relational shape of
+        the two-phase ExactPhraseScorer (doc conjunction first, position
+        verify after; phrase_scorer.rs:122-294)."""
         if any(t not in stats for t in q.terms):
             return self.spark.createDataFrame([], self._score_schema)
         idf_total = np.float32(0.0)
@@ -765,36 +770,74 @@ class IndexSearcher:
         weight32 = np.float32(idf_total * boost)
         wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
 
-        frames = []
-        for i, t in enumerate(q.terms):
-            f = self._positions_frame(t)
-            keep = ["seg", "doc", F.col("positions").alias(f"_p{i}")]
-            if i == 0:
-                keep += [F.col("norm_byte").alias("_nb"), F.col("dl").alias("_dl")]
-            frames.append(f.select(*keep))
-        joined = reduce(lambda a, b: a.join(b, ["seg", "doc"]), frames)
+        uniq_terms = sorted(set(q.terms))
+        ti_of = {t: i for i, t in enumerate(uniq_terms)}
+        n_uniq = len(uniq_terms)
+
+        def decode(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    n = row.num_docs
+                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
+                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
+                    nb = unpack_ints(row.norms_bin, n).astype(np.int64)
+                    dl = unpack_ints(row.dls_bin, n).astype(np.int64)
+                    plists = unpack_positions(row.pos_bin, tf)
+                    yield pd.DataFrame(
+                        {
+                            "seg": np.full(n, row.seg, dtype=np.int32),
+                            "doc": d,
+                            "ti": np.full(n, ti_of[row.term], dtype=np.int32),
+                            "norm_byte": nb,
+                            "dl": dl,
+                            "positions": [p.tolist() for p in plists],
+                        }
+                    )
+
+        scan = self._postings.filter(F.col("term").isin(uniq_terms)).select(
+            "term", "seg", "num_docs", "docs_bin", "tfs_bin",
+            "norms_bin", "dls_bin", "pos_bin")
+        rows = scan.mapInPandas(
+            decode,
+            "seg int, doc long, ti int, norm_byte int, dl long,"
+            " positions array<long>",
+        )
+        aligned = (
+            rows.groupBy("seg", "doc")
+            .agg(
+                F.count("*").alias("_n"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("ti", "positions"))).alias("_pm"),
+                F.first("norm_byte").alias("_nb"),
+                F.first("dl").alias("_dl"),
+            )
+            .filter(F.col("_n") == n_uniq)
+        )
 
         offsets = list(q.positions)
         terms = list(q.terms)
+        term_tis = [ti_of[t] for t in terms]
         slop = q.slop
         cache = self.cache
         scoring = self.scoring
         avgdl64 = self.avgdl64
         boost64 = float(boost)
-        n_terms = len(terms)
 
-        def fn(batches):
+        def verify(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 freqs = np.zeros(len(pdf), dtype=np.float64)
-                pcols = [pdf[f"_p{i}"].tolist() for i in range(n_terms)]
+                pms = pdf["_pm"].tolist()
                 for r in range(len(pdf)):
-                    pls = [np.asarray(pcols[i][r], dtype=np.int64) for i in range(n_terms)]
+                    pm = pms[r]
+                    pls = [np.asarray(pm[ti], dtype=np.int64)
+                           for ti in term_tis]
                     if slop == 0:
                         freqs[r] = float(exact_phrase_freq(pls, offsets))
                     else:
-                        freqs[r] = float(sloppy_phrase_freq(pls, offsets, terms, slop))
+                        freqs[r] = float(
+                            sloppy_phrase_freq(pls, offsets, terms, slop))
                 mask = freqs > 0
                 if not mask.any():
                     continue
@@ -817,7 +860,7 @@ class IndexSearcher:
                     }
                 )
 
-        return joined.mapInPandas(fn, self._score_schema)
+        return aligned.mapInPandas(verify, self._score_schema)
 
     # -- boolean ---------------------------------------------------------
 
