@@ -80,7 +80,6 @@ B = np.float32(0.75)
 
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
-_PHRASE_SCHEMA = "seg int, doc long, norm_byte int, dl long, positions array<long>"
 _UB_SLACK = 1e-5  # relative slack on the BMW θ filter (f32 vs f64 rounding)
 
 
@@ -725,33 +724,6 @@ class IndexSearcher:
                      "norms_bin", "dls_bin")
         schema = self._score_schema + (", _ct string" if with_tag else "")
         return scan.mapInPandas(fn, schema)
-
-    def _positions_frame(self, term: str) -> DataFrame:
-        """Decode one term's postings with positions (for phrase matching)."""
-
-        def fn(batches):
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    n = row.num_docs
-                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
-                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
-                    nb = unpack_ints(row.norms_bin, n).astype(np.int64)
-                    dl = unpack_ints(row.dls_bin, n).astype(np.int64)
-                    plists = unpack_positions(row.pos_bin, tf)
-                    yield pd.DataFrame(
-                        {
-                            "seg": np.full(n, row.seg, dtype=np.int32),
-                            "doc": d,
-                            "norm_byte": nb,
-                            "dl": dl,
-                            "positions": [p.tolist() for p in plists],
-                        }
-                    )
-
-        scan = self._postings.filter(F.col("term") == term).select(
-            "seg", "num_docs", "docs_bin", "tfs_bin", "norms_bin", "dls_bin", "pos_bin"
-        )
-        return scan.mapInPandas(fn, _PHRASE_SCHEMA)
 
     def _phrase_frame(self, q: PhraseQuery, boost: np.float32, stats: dict) -> DataFrame:
         """ONE postings scan for all phrase terms (``term IN (...)`` pushed
