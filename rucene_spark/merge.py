@@ -44,7 +44,6 @@ import pyarrow.parquet as pq
 from pyspark.sql import SparkSession, functions as F
 
 from .build import (
-    _POSTINGS_PA_SCHEMA,
     load_manifest,
     write_manifest,
     write_term_stats,

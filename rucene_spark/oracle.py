@@ -45,7 +45,7 @@ from .query import (
     RangeQuery,
     TermQuery,
 )
-from .segmenting import assign_doc_ids, hash_segment, range_segment
+from .segmenting import hash_segment, range_segment
 from .smallfloat import encode_norm_value
 
 K1 = np.float32(1.2)
