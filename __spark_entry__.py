@@ -42,6 +42,7 @@ from rucene_spark.query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
+    MinScoreQuery,
     PhraseQuery,
     QueryStringQueryBuilder,
     RangeQuery,
@@ -59,15 +60,21 @@ PH_A, PH_B = "key", "agg"
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Two-field index (field.rs:23-29 multi-field document model):
+    ``text`` = the document body, ``title`` = its first 5 tokens (a
+    deterministic derived field so the DuckDB oracle can reproduce it)."""
     sf_dir = sf_dir.rstrip("/")
     if sf_dir not in _INDEX_CACHE:
         idx_dir = os.path.join(
             tempfile.gettempdir(),
-            "rucene_spark_idx_v4_" + sf_dir.replace("/", "_"),
+            "rucene_spark_idx_v5_" + sf_dir.replace("/", "_"),
         )
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        )
         writer = IndexWriter(
-            spark, idx_dir, n_segments=8, key_col="doc_id", partitioner="range"
+            spark, idx_dir, n_segments=8, key_col="doc_id", partitioner="range",
+            fields=[("text", "text"), ("title", "title")],
         )
         writer.build(docs)
         _INDEX_CACHE[sf_dir] = idx_dir
@@ -274,6 +281,27 @@ def q_sloppy_phrase_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_multifield_topk(spark, sf_dir):
+    # per-field boosted expansion (query_string.rs:198-249): the term is
+    # searched in BOTH fields, each scored against its own field stats
+    # (df/avgdl/norms), title boosted 2x; per-doc scores sum.
+    s = _index_for(spark, sf_dir)
+    q = QueryStringQueryBuilder(T_MID, [("title", 2.0), ("text", 1.0)]).build()
+    return _topk_out(s.search(q, 10))
+
+
+def q_min_score_topk(spark, sf_dir):
+    # MinScoreScorer (min_scorer.rs:21-79): keep docs scoring strictly
+    # above a cutoff. The cutoff is the 5th-best score of the same term
+    # query, computed engine-side here and by subquery in the oracle —
+    # the same order statistic in both engines.
+    s = _index_for(spark, sf_dir)
+    five = s.search(TermQuery("text", T_MID), 5).collect()
+    thr = float(five[-1]["score"]) if len(five) == 5 else -1.0
+    q = MinScoreQuery(TermQuery("text", T_MID), thr)
+    return _topk_out(s.search(q, 10))
+
+
 def q_blockmax_topk(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     return _topk_out(s.search_blockmax([T_HI, T_MID, T_LO], 10))
@@ -411,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_by_lang": q_collapse_by_lang,
         "rescore_topk": q_rescore_topk,
         "querystring_topk": q_querystring_topk,
+        "multifield_topk": q_multifield_topk,
+        "min_score_topk": q_min_score_topk,
         "blockmax_topk": q_blockmax_topk,
         "boosting_topk": q_boosting_topk,
         "highlight_topk": q_highlight_topk,
@@ -644,6 +674,64 @@ SELECT grp.doc_id,
        round(grp.gscore + coalesce(hi.score, 0.0), 6) AS score
 FROM grp LEFT JOIN hi USING (doc_id)
 ORDER BY grp.gscore + coalesce(hi.score, 0.0) DESC, grp.doc_id LIMIT 10
+"""
+    )
+
+    # two-field BM25: title = first 5 tokens of text, its own df/avgdl/dl;
+    # title clause boost 2.0 folded as (idf * 2.0) * 2.2 * ... (engine op
+    # order); per-doc scores from both fields sum
+    sqls["multifield_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, least(count(*), 10) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM tf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+ttok AS (SELECT doc_id, unnest(list_slice(string_split(text,' '), 1, 5)) AS term
+         FROM documents),
+ttf AS (SELECT doc_id, term, least(count(*), 10) AS tf FROM ttok GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+tst AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM ttf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+sc_text AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * 2.2 * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+           AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, st
+  WHERE tf.term = '{T_MID}'
+),
+sc_title AS (
+  SELECT ttf.doc_id,
+         (ln(1 + (tst.n - df.df + 0.5) / (df.df + 0.5)) * 2.0)
+           * 2.2 * ttf.tf / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / tst.avgdl))
+           AS score
+  FROM ttf
+  JOIN (SELECT term, count(*) AS df FROM ttf GROUP BY term) df USING (term)
+  JOIN tdl ON tdl.doc_id = ttf.doc_id, tst
+  WHERE ttf.term = '{T_MID}'
+)
+SELECT doc_id, round(sum(score), 6) AS score
+FROM (SELECT * FROM sc_text UNION ALL SELECT * FROM sc_title)
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id LIMIT 10
+"""
+
+    sqls["min_score_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT doc_id, round(score, 6) AS score
+FROM sc WHERE term = '{T_MID}'
+  AND score > (SELECT score FROM sc WHERE term = '{T_MID}'
+               ORDER BY score DESC, doc_id LIMIT 1 OFFSET 4)
+ORDER BY score DESC, doc_id LIMIT 10
 """
     )
 

@@ -66,6 +66,7 @@ _MANIFEST_ROW_SCHEMA = (
 
 _POSTINGS_PA_SCHEMA = pa.schema(
     [
+        ("field", pa.string()),
         ("term", pa.string()),
         ("block_id", pa.int32()),
         ("num_docs", pa.int32()),
@@ -85,32 +86,70 @@ _POSTINGS_PA_SCHEMA = pa.schema(
 
 
 def _invert_segment(
-    pdf: pd.DataFrame, text_col: str, key_col: str, analyzer: str
+    pdf: pd.DataFrame, fields: list, key_col: str, analyzer: str
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
-    """Pure-numpy inversion of one segment → (postings, docmeta, segstats)."""
+    """Pure-numpy inversion of one segment → (postings, docmeta, segstats).
+
+    ``fields`` is a list of ``(field_name, source_col)`` pairs — the bag of
+    independently indexed fields of the reference's document model
+    (field.rs:23-29, doc_consumer.rs:255-320: one PerField inverter per
+    named field, each with its own postings, norms and stats). Postings
+    and segstats carry a ``field`` column; per-field norms stay
+    denormalized into the postings blocks exactly as in the single-field
+    layout, so scoring never joins a norms table.
+    """
     pdf = pdf.sort_values(key_col, kind="stable").reset_index(drop=True)
-    texts = pdf[text_col].tolist()
+    n_docs = len(pdf)
+    field_names = [fn for fn, _ in fields]
+
+    docmeta = pdf.drop(columns=[c for _, c in fields]).copy()
+    docmeta.insert(0, "doc", np.arange(n_docs, dtype=np.int64))
+
+    post_parts: list[pd.DataFrame] = []
+    stat_parts: list[pd.DataFrame] = []
+    # deterministic field order (sorted) keeps the postings file sorted by
+    # (field, term) for parquet row-group pruning
+    for fname, col in sorted(fields):
+        postings_f, stats_f, lens, norm_bytes = _invert_field(
+            pdf[col].tolist(), n_docs, fname, analyzer)
+        suffix = "" if fname == field_names[0] else f"_{fname}"
+        docmeta[f"doc_len{suffix}"] = lens
+        docmeta[f"norm_byte{suffix}"] = norm_bytes
+        if len(postings_f):
+            post_parts.append(postings_f)
+            stat_parts.append(stats_f)
+
+    if not post_parts:
+        empty = pd.DataFrame({f.name: [] for f in _POSTINGS_PA_SCHEMA})
+        stats = pd.DataFrame(
+            {"field": [], "term": [], "df": [], "ttf": [], "max_tf": [],
+             "max_norm_byte": [], "min_dl": []}
+        )
+        return empty, docmeta, stats
+    postings = pd.concat(post_parts, ignore_index=True)
+    segstats = pd.concat(stat_parts, ignore_index=True)
+    return postings, docmeta, segstats
+
+
+def _invert_field(
+    texts: list, n_docs: int, fname: str, analyzer: str
+) -> tuple[pd.DataFrame, pd.DataFrame, np.ndarray, np.ndarray]:
+    """Invert one field of one segment → (postings, segstats, lens, norms)."""
     di, codes, uniques, pos = tokenize_factorized(texts, mode=analyzer)
 
-    n_docs = len(pdf)
     lens = np.zeros(n_docs, dtype=np.int64)
     if di.size:
         np.add.at(lens, di, 1)
     norm_bytes = encode_norm_value(1.0, np.maximum(lens, 1)).astype(np.int64)
     norm_bytes[lens == 0] = 0
 
-    docmeta = pdf.drop(columns=[text_col]).copy()
-    docmeta.insert(0, "doc", np.arange(n_docs, dtype=np.int64))
-    docmeta["doc_len"] = lens
-    docmeta["norm_byte"] = norm_bytes
-
     if di.size == 0:
         empty = pd.DataFrame({f.name: [] for f in _POSTINGS_PA_SCHEMA})
         stats = pd.DataFrame(
-            {"term": [], "df": [], "ttf": [], "max_tf": [],
+            {"field": [], "term": [], "df": [], "ttf": [], "max_tf": [],
              "max_norm_byte": [], "min_dl": []}
         )
-        return empty, docmeta, stats
+        return empty, stats, lens, norm_bytes
 
     # invert: sort token stream by (term, doc, position) — terms arrive
     # already factorized to sorted int codes (tokenize_factorized)
@@ -212,6 +251,7 @@ def _invert_segment(
 
     postings = pd.DataFrame(
         {
+            "field": fname,
             "term": blk_terms,
             "block_id": blk_block_id,
             "num_docs": num_docs,
@@ -230,6 +270,7 @@ def _invert_segment(
     )
     segstats = pd.DataFrame(
         {
+            "field": fname,
             "term": uniq_arr[run_term[term_starts]],
             "df": runs_per_term.astype(np.int64),
             "ttf": np.add.reduceat(tf, term_starts).astype(np.int64),
@@ -238,7 +279,7 @@ def _invert_segment(
             "min_dl": np.minimum.reduceat(run_dl, term_starts).astype(np.int64),
         }
     )
-    return postings, docmeta, segstats
+    return postings, segstats, lens, norm_bytes
 
 
 def _atomic_write_dir(write_fn, final_dir: str) -> None:
@@ -253,7 +294,7 @@ def _atomic_write_dir(write_fn, final_dir: str) -> None:
 def _build_segment_files(
     pdf: pd.DataFrame,
     index_dir: str,
-    text_col: str,
+    fields: list,
     key_col: str,
     analyzer: str,
 ) -> pd.DataFrame:
@@ -271,7 +312,7 @@ def _build_segment_files(
     t0 = time.time()
     pdf = pdf.drop(columns=["segment_id"])
     # `seg` itself is the partition directory (seg=N), not a file column
-    postings, docmeta, segstats = _invert_segment(pdf, text_col, key_col, analyzer)
+    postings, docmeta, segstats = _invert_segment(pdf, fields, key_col, analyzer)
 
     _atomic_write_dir(
         lambda d: pq.write_table(
@@ -335,16 +376,28 @@ class IndexWriter:
         analyzer: str = "whitespace",
         partitioner: str = "hash",
         store_cols: list[str] | None = None,
+        fields: list[tuple[str, str]] | None = None,
     ) -> None:
+        """``fields`` is the multi-field document model: a list of
+        ``(field_name, source_col)`` pairs, each independently indexed with
+        its own postings/norms/stats (field.rs:23-29). Defaults to the
+        single ``(field, text_col)`` pair for back-compat."""
         self.spark = spark
         self.index_dir = index_dir
         self.n_segments = n_segments
         self.key_col = key_col
-        self.text_col = text_col
-        self.field = field
+        self.fields = list(fields) if fields else [(field, text_col)]
+        if len({fn for fn, _ in self.fields}) != len(self.fields):
+            raise ValueError(f"duplicate field names: {self.fields}")
+        self.text_col = self.fields[0][1]
+        self.field = self.fields[0][0]
         self.analyzer = analyzer
         self.partitioner = partitioner
         self.store_cols = store_cols
+
+    @property
+    def _field_cols(self) -> list[str]:
+        return [c for _, c in self.fields]
 
     def _with_segment_id(self, df: DataFrame) -> DataFrame:
         key = F.col(self.key_col)
@@ -371,22 +424,20 @@ class IndexWriter:
         base = max(s["segment_id"] for s in m["segments"]) + 1
         n_new = n_segments or self.n_segments
 
-        extra = [
-            f.name for f in df.schema.fields
-            if f.name not in (self.key_col, self.text_col)
-            and f.dataType.typeName() != "binary"
-        ]
+        # same stored-column projection as build() — delta segments must
+        # not diverge from the base docmeta schema
+        extra = self._extra_cols(df)
         key = F.col(self.key_col)
         seg = (F.crc32(F.encode(key.cast("string"), "UTF-8")) % n_new
                + F.lit(base)).cast("long")
-        src = df.select(self.key_col, self.text_col, *extra).withColumn(
+        src = df.select(self.key_col, *self._field_cols, *extra).withColumn(
             "segment_id", seg)
 
-        index_dir, text_col, key_col, analyzer = (
-            self.index_dir, self.text_col, self.key_col, self.analyzer)
+        index_dir, fields, key_col, analyzer = (
+            self.index_dir, self.fields, self.key_col, self.analyzer)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _build_segment_files(pdf, index_dir, text_col, key_col, analyzer)
+            return _build_segment_files(pdf, index_dir, fields, key_col, analyzer)
 
         rows = (src.groupBy("segment_id")
                 .applyInPandas(fn, _MANIFEST_ROW_SCHEMA).collect())
@@ -399,34 +450,38 @@ class IndexWriter:
         m["doc_count"] = int(sum(s["docs"] for s in m["segments"]))
         # authoritative recompute over all segments' stat partials (older
         # manifest rows may predate the per-row ttf field)
-        m["sum_ttf"] = write_term_stats(
+        field_stats = write_term_stats(
             self.spark, self.index_dir, max(1, len(m["segments"]) // 4))
+        m["field_stats"] = field_stats
+        m["sum_ttf"] = field_stats.get(self.field, {}).get("sum_ttf", 0)
         write_manifest(self.index_dir, m)
         return m
 
+    def _extra_cols(self, df: DataFrame) -> list[str]:
+        reserved = {self.key_col, *self._field_cols}
+        if self.store_cols is not None:
+            return [c for c in self.store_cols if c not in reserved]
+        # default doc-values set: everything except binary payloads
+        return [
+            f.name for f in df.schema.fields
+            if f.name not in reserved and f.dataType.typeName() != "binary"
+        ]
+
     def build(self, df: DataFrame) -> dict:
         os.makedirs(self.index_dir, exist_ok=True)
-        if self.store_cols is not None:
-            extra = [c for c in self.store_cols
-                     if c not in (self.key_col, self.text_col)]
-        else:
-            # default doc-values set: everything except binary payloads
-            extra = [
-                f.name for f in df.schema.fields
-                if f.name not in (self.key_col, self.text_col)
-                and f.dataType.typeName() != "binary"
-            ]
-        src = self._with_segment_id(df.select(self.key_col, self.text_col, *extra))
+        extra = self._extra_cols(df)
+        src = self._with_segment_id(
+            df.select(self.key_col, *self._field_cols, *extra))
 
-        index_dir, text_col, key_col, analyzer = (
+        index_dir, fields, key_col, analyzer = (
             self.index_dir,
-            self.text_col,
+            self.fields,
             self.key_col,
             self.analyzer,
         )
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _build_segment_files(pdf, index_dir, text_col, key_col, analyzer)
+            return _build_segment_files(pdf, index_dir, fields, key_col, analyzer)
 
         rows = (
             src.groupBy("segment_id")
@@ -435,43 +490,46 @@ class IndexWriter:
         )
         seg_rows = sorted((r.asDict() for r in rows), key=lambda r: r["segment_id"])
 
-        write_term_stats(self.spark, self.index_dir,
-                         max(1, self.n_segments // 4))
-        # collection stats come from the per-segment partials already in the
-        # manifest rows — no extra job over term_stats
-        sum_ttf = int(sum(r["ttf"] for r in seg_rows))
+        field_stats = write_term_stats(self.spark, self.index_dir,
+                                       max(1, self.n_segments // 4))
         doc_count = int(sum(r["docs"] for r in seg_rows))
 
         manifest = {
-            "version": 3,
+            "version": 5,
             "field": self.field,
+            "fields": [fn_ for fn_, _ in self.fields],
+            "field_cols": {fn_: c for fn_, c in self.fields},
+            "field_stats": field_stats,
             "analyzer": self.analyzer,
             "partitioner": self.partitioner,
             "key_col": self.key_col,
             "n_segments": self.n_segments,
             "doc_count": doc_count,
-            "sum_ttf": sum_ttf,
+            "sum_ttf": field_stats.get(self.field, {}).get("sum_ttf", 0),
             "segments": seg_rows,
         }
         write_manifest(self.index_dir, manifest)
         return manifest
 
 
-def write_term_stats(spark: SparkSession, index_dir: str, n_parts: int) -> int:
+def write_term_stats(spark: SparkSession, index_dir: str,
+                     n_parts: int) -> dict:
     """(Re)aggregate per-segment stat partials into the global term_stats
-    table; returns the collection sum_total_term_freq.
+    table; returns per-field collection stats
+    ``{field: {"sum_ttf": int}}`` (searcher.rs:732-767 per-field
+    CollectionStatistics analogue).
 
     The per-segment pre-aggregation is the skew guard: a hot term enters
     this shuffle with at most one partial row per segment. Output files are
-    term-sorted within the groupBy's hash partitioning (no extra
+    (field, term)-sorted within the groupBy's hash partitioning (no extra
     range-sampling pass), which keeps Parquet row-group pruning for the
     searcher's ``term IN (...)`` stats lookups.
     """
     segstats = spark.read.parquet(os.path.join(index_dir, "segstats"))
     term_stats = (
         segstats
-        .repartition(max(1, n_parts), "term")
-        .groupBy("term")
+        .repartition(max(1, n_parts), "field", "term")
+        .groupBy("field", "term")
         .agg(
             F.sum("df").alias("df"),
             F.sum("ttf").alias("ttf"),
@@ -479,12 +537,13 @@ def write_term_stats(spark: SparkSession, index_dir: str, n_parts: int) -> int:
             F.max("max_norm_byte").alias("max_norm_byte"),
             F.min("min_dl").alias("min_dl"),
         )
-        .sortWithinPartitions("term")
+        .sortWithinPartitions("field", "term")
     )
     ts_dir = os.path.join(index_dir, "term_stats")
     term_stats.write.mode("overwrite").parquet(ts_dir)
-    agg = spark.read.parquet(ts_dir).agg(F.sum("ttf")).first()
-    return int(agg[0] or 0)
+    rows = (spark.read.parquet(ts_dir).groupBy("field")
+            .agg(F.sum("ttf").alias("sttf")).collect())
+    return {r["field"]: {"sum_ttf": int(r["sttf"] or 0)} for r in rows}
 
 
 def write_manifest(index_dir: str, manifest: dict) -> None:

@@ -54,7 +54,7 @@ from .codec import delta_decode, delta_encode, pack_ints, pack_positions, \
 TOMBSTONES = "tombstones"
 
 _BLOCK_SCHEMA_DDL = (
-    "term string, block_id int, num_docs int, first_doc long, last_doc long, "
+    "field string, term string, block_id int, num_docs int, first_doc long, last_doc long, "
     "max_tf int, max_norm_byte int, min_dl long, ttf long, "
     "docs_bin binary, tfs_bin binary, norms_bin binary, dls_bin binary, "
     "pos_bin binary"
@@ -74,6 +74,29 @@ def delete_by_keys(index_dir: str, keys: list) -> int:
     t = pa.table({"key": pa.array([str(k) for k in keys], type=pa.string())})
     pq.write_table(t, os.path.join(d, f"tomb-{uuid.uuid4().hex[:12]}.parquet"))
     return len(keys)
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, query) -> int:
+    """Delete every doc currently matching ``query``
+    (index_writer.rs:485-510 delete_documents_by_queries analogue: the
+    query is resolved to concrete docs at delete time, then buffered as
+    key tombstones). The resolved key set is written distributed — no
+    driver-side collect — so a match-everything delete scales."""
+    from .search import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir)
+    frame = s._live(s._frame(query, np.float32(1.0), needs_scores=False))
+    keys = (
+        s._docmeta.join(frame.select("seg", "doc"), ["seg", "doc"])
+        .select(F.col(s.key_col).cast("string").alias("key"))
+        .distinct()
+    )
+    n = keys.count()
+    if n:
+        d = os.path.join(index_dir, TOMBSTONES)
+        os.makedirs(d, exist_ok=True)
+        keys.write.mode("append").parquet(d)
+    return n
 
 
 def has_tombstones(index_dir: str) -> bool:
@@ -272,7 +295,7 @@ class SegmentMerger:
         def remap(batches):
             for pdf in batches:
                 out = {name: [] for name in (
-                    "term", "block_id", "num_docs", "first_doc", "last_doc",
+                    "field", "term", "block_id", "num_docs", "first_doc", "last_doc",
                     "max_tf", "max_norm_byte", "min_dl", "ttf",
                     "docs_bin", "tfs_bin", "norms_bin", "dls_bin", "pos_bin")}
                 for row in pdf.itertuples(index=False):
@@ -304,6 +327,7 @@ class SegmentMerger:
                         cat = (np.concatenate(kept).astype(np.uint64)
                                if kept else np.empty(0, dtype=np.uint64))
                         pos_bin = pack_positions(cat, k_tfs.astype(np.uint64))
+                    out["field"].append(row.field)
                     out["term"].append(row.term)
                     out["block_id"].append(
                         b_rank.value[seg] * maxb + int(row.block_id))
@@ -329,7 +353,8 @@ class SegmentMerger:
             remap, _BLOCK_SCHEMA_DDL)
         n_parts = max(1, len(run))
         post_stage = _staged_spark_write(
-            merged, self.index_dir, "postings", n_parts, ["term", "block_id"])
+            merged, self.index_dir, "postings", n_parts,
+            ["field", "term", "block_id"])
 
         # --- docmeta remap
         dm_cols = [f for f in dm_run.schema.fieldNames() if f != "seg"]
@@ -363,14 +388,14 @@ class SegmentMerger:
         # --- segstats for the new segment, from new block metadata only
         new_postings = self.spark.read.parquet(post_stage)
         segstats = (
-            new_postings.groupBy("term")
+            new_postings.groupBy("field", "term")
             .agg(F.sum("num_docs").alias("df"), F.sum("ttf").alias("ttf"),
                  F.max("max_tf").alias("max_tf"),
                  F.max("max_norm_byte").alias("max_norm_byte"),
                  F.min("min_dl").alias("min_dl"))
         )
         ss_stage = _staged_spark_write(
-            segstats, self.index_dir, "segstats", 1, ["term"])
+            segstats, self.index_dir, "segstats", 1, ["field", "term"])
         stats_counts = self.spark.read.parquet(ss_stage).agg(
             F.count("*"), F.sum("df"), F.sum("ttf")).first()
         blocks_count = new_postings.count()
@@ -423,8 +448,11 @@ class SegmentMerger:
         new_segments.sort(key=lambda s: s["segment_id"])
         m["segments"] = new_segments
         m["doc_count"] = int(sum(s["docs"] for s in new_segments))
-        m["sum_ttf"] = write_term_stats(
+        field_stats = write_term_stats(
             self.spark, self.index_dir, max(1, len(new_segments) // 4))
+        m["field_stats"] = field_stats
+        m["sum_ttf"] = field_stats.get(
+            m.get("field", "text"), {}).get("sum_ttf", 0)
         write_manifest(self.index_dir, m)
         return new_row
 

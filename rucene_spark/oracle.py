@@ -40,6 +40,7 @@ from .query import (
     DisjunctionMaxQuery,
     ExistsQuery,
     MatchAllDocsQuery,
+    MinScoreQuery,
     PhraseQuery,
     Query,
     RangeQuery,
@@ -60,12 +61,16 @@ class _Posting:
 class OracleIndex:
     def __init__(self) -> None:
         self.postings: dict[tuple[str, str], dict[tuple[int, int], _Posting]] = {}
-        self.doc_len: dict[tuple[int, int], int] = {}
-        self.norm_byte: dict[tuple[int, int], int] = {}
+        # per-field doc stats, keyed (field, (seg, local)) — the bag-of-
+        # fields model: each field has independent norms (field.rs:23-29)
+        self.doc_len: dict[tuple[str, tuple[int, int]], int] = {}
+        self.norm_byte: dict[tuple[str, tuple[int, int]], int] = {}
         self.key_of: dict[tuple[int, int], object] = {}
         self.values: dict[tuple[int, int], dict] = {}
+        self.fields: list[str] = []
         self.doc_count = 0
         self.sum_ttf = 0
+        self.sum_ttf_f: dict[str, int] = {}
         self.term_stats: dict[tuple[str, str], tuple[int, int]] = {}
 
     # -- stats ---------------------------------------------------------
@@ -81,8 +86,11 @@ def build_oracle_index(
     partitioner: str = "hash",
     analyzer: str = "whitespace",
     field: str = "text",
+    fields: list[tuple[str, str]] | None = None,
 ) -> OracleIndex:
+    fields = list(fields) if fields else [(field, text_col)]
     idx = OracleIndex()
+    idx.fields = [fn for fn, _ in fields]
     if partitioner == "hash":
         segs = hash_segment(pdf[key_col], n_segments)
     elif partitioner == "range":
@@ -91,35 +99,42 @@ def build_oracle_index(
     else:
         raise ValueError(partitioner)
 
-    value_cols = [c for c in pdf.columns if c not in (text_col,)]
+    field_cols = {c for _, c in fields}
+    value_cols = [c for c in pdf.columns if c not in field_cols]
     for seg in sorted(set(segs.tolist())):
         sub = pdf[segs == seg].sort_values(key_col, kind="stable").reset_index(drop=True)
-        di, terms, pos = batch_tokenize(sub[text_col].tolist(), mode=analyzer)
-        lens = np.zeros(len(sub), dtype=np.int64)
-        if di.size:
-            np.add.at(lens, di, 1)
-        nb = encode_norm_value(1.0, np.maximum(lens, 1))
         for local in range(len(sub)):
             docid = (int(seg), local)
-            idx.doc_len[docid] = int(lens[local])
-            idx.norm_byte[docid] = int(nb[local]) if lens[local] > 0 else 0
             idx.key_of[docid] = sub[key_col].iloc[local]
             idx.values[docid] = {c: sub[c].iloc[local] for c in value_cols}
-        # group (doc, term) → tf + positions
-        tokens = pd.DataFrame({"d": di, "t": terms, "p": pos})
-        for (local, term), grp in tokens.groupby(["d", "t"], sort=False):
-            tf_raw = len(grp)
-            tf = min(tf_raw, TERM_FREQ_LIMIT)
-            plist = np.sort(grp["p"].to_numpy())[:tf]
-            key = (field, str(term))
-            idx.postings.setdefault(key, {})[(int(seg), int(local))] = _Posting(tf, plist)
+        for fname, col in fields:
+            di, terms, pos = batch_tokenize(sub[col].tolist(), mode=analyzer)
+            lens = np.zeros(len(sub), dtype=np.int64)
+            if di.size:
+                np.add.at(lens, di, 1)
+            nb = encode_norm_value(1.0, np.maximum(lens, 1))
+            for local in range(len(sub)):
+                docid = (int(seg), local)
+                idx.doc_len[(fname, docid)] = int(lens[local])
+                idx.norm_byte[(fname, docid)] = (
+                    int(nb[local]) if lens[local] > 0 else 0)
+            # group (doc, term) → tf + positions
+            tokens = pd.DataFrame({"d": di, "t": terms, "p": pos})
+            for (local, term), grp in tokens.groupby(["d", "t"], sort=False):
+                tf_raw = len(grp)
+                tf = min(tf_raw, TERM_FREQ_LIMIT)
+                plist = np.sort(grp["p"].to_numpy())[:tf]
+                key = (fname, str(term))
+                idx.postings.setdefault(key, {})[(int(seg), int(local))] = (
+                    _Posting(tf, plist))
 
     idx.doc_count = len(pdf)
     for key, plists in idx.postings.items():
         df = len(plists)
         ttf = sum(p.tf for p in plists.values())
         idx.term_stats[key] = (df, ttf)
-        idx.sum_ttf += ttf
+        idx.sum_ttf_f[key[0]] = idx.sum_ttf_f.get(key[0], 0) + ttf
+    idx.sum_ttf = idx.sum_ttf_f.get(fields[0][0], 0)
     return idx
 
 
@@ -143,8 +158,18 @@ class OracleSearcher:
     def __init__(self, index: OracleIndex, field: str = "text"):
         self.idx = index
         self.field = field
+        self.cache_f = {
+            f: norm_cache32(avgdl32(index.sum_ttf_f.get(f, 0), index.doc_count))
+            for f in (index.fields or [field])
+        }
         self.avgdl = avgdl32(index.sum_ttf, index.doc_count)
-        self.cache = norm_cache32(self.avgdl)
+        self.cache = self.cache_f.get(field, norm_cache32(self.avgdl))
+
+    def _field_cache(self, field: str) -> np.ndarray:
+        if field not in self.cache_f:
+            raise ValueError(
+                f"unknown field {field!r}; index has {list(self.cache_f)}")
+        return self.cache_f[field]
 
     # -- public --------------------------------------------------------
     def search(self, query: Query, k: int = 10) -> list[tuple[object, np.float32]]:
@@ -170,7 +195,12 @@ class OracleSearcher:
             return _Matches({d: s for d in inner.docs()})
         if isinstance(q, MatchAllDocsQuery):
             s = float(np.float32(boost))
-            return _Matches({d: s for d in self.idx.doc_len})
+            return _Matches({d: s for d in self.idx.key_of})
+        if isinstance(q, MinScoreQuery):
+            # min_scorer.rs:69-71 — strictly greater than
+            inner = self._eval(q.query, boost, needs_scores=True)
+            return _Matches({d: s for d, s in inner.scores.items()
+                             if s > q.min_score})
         if isinstance(q, BooleanQuery):
             return self._boolean(q, boost, needs_scores)
         if isinstance(q, PhraseQuery):
@@ -213,25 +243,26 @@ class OracleSearcher:
         raise TypeError(f"unsupported query: {type(q)}")
 
     def _term(self, q: TermQuery, boost: np.float32) -> _Matches:
-        # single-field index for now: any field name resolves to the indexed field
-        plists = self.idx.postings.get((self.field, q.term))
+        cache = self._field_cache(q.field)
+        plists = self.idx.postings.get((q.field, q.term))
         if not plists:
             return _Matches({})
-        df, _ = self.idx.term_stats[(self.field, q.term)]
+        df, _ = self.idx.term_stats[(q.field, q.term)]
         weight = np.float32(idf32(df, self.idx.doc_count) * np.float32(boost * np.float32(q.boost)))
         out = {}
         for d, p in plists.items():
             tf = np.float32(p.tf)
-            norm = self.cache[self.idx.norm_byte[d]]
+            norm = cache[self.idx.norm_byte[(q.field, d)]]
             score = np.float32(weight * (K1 + np.float32(1.0)) * tf / (tf + norm))
             out[d] = float(score)
         return _Matches(out)
 
     def _phrase(self, q: PhraseQuery, boost: np.float32) -> _Matches:
-        plists = [self.idx.postings.get((self.field, t), {}) for t in q.terms]
+        cache = self._field_cache(q.field)
+        plists = [self.idx.postings.get((q.field, t), {}) for t in q.terms]
         if any(not p for p in plists):
             return _Matches({})
-        dfs = [self.idx.term_stats[(self.field, t)][0] for t in q.terms]
+        dfs = [self.idx.term_stats[(q.field, t)][0] for t in q.terms]
         idf_total = np.float32(0.0)
         for df in dfs:
             idf_total = np.float32(idf_total + idf32(df, self.idx.doc_count))
@@ -247,7 +278,7 @@ class OracleSearcher:
             else:
                 freq = sloppy_phrase_freq(pos_lists, q.positions, q.terms, q.slop)
             if freq > 0:
-                norm = self.cache[self.idx.norm_byte[d]]
+                norm = cache[self.idx.norm_byte[(q.field, d)]]
                 score = np.float32(
                     weight * (K1 + np.float32(1.0)) * freq / (freq + norm)
                 )

@@ -178,6 +178,19 @@ class BoostingQuery(Query):
 
 
 @dataclass
+class MinScoreQuery(Query):
+    """Keeps only docs whose score is strictly greater than ``min_score``
+    (min_scorer.rs:21-79: ``matches() = origin.matches() && score > min``).
+    The wrapped query is scored normally; the cutoff is a post-filter."""
+
+    query: Query
+    min_score: float
+
+    def __str__(self) -> str:
+        return f"MinScoreQuery(query: {self.query}, min_score: {_fmt(self.min_score)})"
+
+
+@dataclass
 class RangeQuery(Query):
     """Numeric/temporal range over a doc-values column — the DataFrame-native
     analogue of PointRangeQuery (point_range_query.rs:37-130). Bounds are

@@ -14,6 +14,7 @@ from rucene_spark.query import (
     DisjunctionMaxQuery,
     ExistsQuery,
     MatchAllDocsQuery,
+    MinScoreQuery,
     QueryStringQueryBuilder,
     RangeQuery,
     TermQuery,
@@ -110,6 +111,10 @@ def test_programmatic_queries_rank_identical(spark, corpus, built, oracle):
         # doc-values queries over stored columns
         RangeQuery("lang", "en", "en"),
         ExistsQuery("lang"),
+        # min-score cutoff (min_scorer.rs): mid cutoff and cut-everything
+        MinScoreQuery(t_mid, 0.05),
+        MinScoreQuery(BooleanQuery.build([], [t_hi, t_mid], [], []), 0.1),
+        MinScoreQuery(t_lo, 1e9),
     ]
     for q in queries:
         eng = engine_hits(esearch, q, 10)

@@ -82,3 +82,49 @@ def test_explain_matches_search_score(spark, corpus, hi_mid, tmp_index):
 
     miss = s.explain(TermQuery("text", "tzzzzzz"), 0, 0)
     assert not miss["match"] and miss["value"] == 0.0
+
+
+def test_explain_boolean_non_match_cases(spark, corpus, hi_mid, tmp_index):
+    """BooleanWeight.explain must report match=False when a required clause
+    fails, a prohibited clause matches, or min_should_match is unmet —
+    search() and explain() must agree doc-by-doc (ADVICE r1)."""
+    hi, mid = hi_mid
+    IndexWriter(spark, tmp_index, n_segments=4).build(
+        spark.createDataFrame(corpus[["url", "text", "lang"]]))
+    s = IndexSearcher(spark, tmp_index)
+
+    # a doc matching hi but NOT mid
+    q_not = BooleanQuery.build([TermQuery("text", hi)], [], [],
+                               [TermQuery("text", mid)])
+    only_hi = s.search(q_not, 1).collect()
+    if only_hi:
+        r = only_hi[0]
+        # must with a failing second must → non-match
+        e = s.explain(BooleanQuery(
+            musts=[TermQuery("text", hi), TermQuery("text", mid)]),
+            r["seg"], r["doc"])
+        assert not e["match"] and e["value"] == 0.0
+        assert "required" in e["description"]
+        # msm=2 with only one matching should → non-match
+        e = s.explain(BooleanQuery(
+            shoulds=[TermQuery("text", hi), TermQuery("text", mid)],
+            min_should_match=2), r["seg"], r["doc"])
+        assert not e["match"]
+
+    # a doc matching BOTH → must_not(mid) makes it a non-match
+    q_both = BooleanQuery.build(
+        [TermQuery("text", hi), TermQuery("text", mid)], [], [], [])
+    both = s.search(q_both, 1).collect()
+    if both:
+        r = both[0]
+        e = s.explain(BooleanQuery(
+            musts=[TermQuery("text", hi)],
+            must_nots=[TermQuery("text", mid)]), r["seg"], r["doc"])
+        assert not e["match"]
+        assert "prohibited" in e["description"]
+        # filter clause that fails → non-match
+        from rucene_spark.query import RangeQuery
+        e = s.explain(BooleanQuery(
+            musts=[TermQuery("text", hi)],
+            filters=[RangeQuery("lang", "zz", "zz")]), r["seg"], r["doc"])
+        assert not e["match"]

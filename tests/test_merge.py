@@ -11,6 +11,7 @@ from rucene_spark.merge import (
     SegmentMerger,
     TieredMergePolicy,
     delete_by_keys,
+    delete_by_query,
     force_merge,
     maybe_merge,
 )
@@ -196,6 +197,35 @@ def test_deletes_hidden_then_squeezed(spark, corpus, qterms, tmp_index):
             assert rm == rf
     finally:
         shutil.rmtree(fresh_dir, ignore_errors=True)
+
+
+def test_delete_by_query(spark, corpus, qterms, tmp_index):
+    """delete_documents_by_queries analogue: resolve a query to doc keys at
+    delete time, buffer as tombstones (index_writer.rs:485-510)."""
+    hi, mid, rare = qterms
+    _build(spark, corpus, tmp_index, n_segments=4)
+    s0 = IndexSearcher(spark, tmp_index)
+    n_rare = s0.count(TermQuery("text", rare))
+    rare_urls = {r["url"] for r in s0.search(TermQuery("text", rare), 1000).collect()}
+    assert n_rare > 0
+
+    n_del = delete_by_query(spark, tmp_index, TermQuery("text", rare))
+    assert n_del == n_rare
+
+    s1 = IndexSearcher(spark, tmp_index)
+    assert s1.count(TermQuery("text", rare)) == 0
+    # docs not matching the deleted query are unaffected
+    hits = {r["url"] for r in s1.search(TermQuery("text", hi), 1000).collect()}
+    assert hits == {
+        r["url"] for r in s0.search(TermQuery("text", hi), 1000).collect()
+    } - rare_urls
+
+    # merge folds the query-resolved tombstones physically
+    force_merge(spark, tmp_index)
+    m = load_manifest(tmp_index)
+    assert m["doc_count"] == len(corpus) - n_rare
+    from rucene_spark.merge import has_tombstones
+    assert not has_tombstones(tmp_index)
 
 
 def test_phrase_positions_survive_merge_with_deletes(spark, corpus, tmp_index):

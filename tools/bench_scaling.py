@@ -96,7 +96,7 @@ def _ctl_work(_i):
 
     from rucene_spark.build import _invert_segment
     t0 = time.time()
-    p, _dm, _ss = _invert_segment(_CTL_DATA, "text", "url", "whitespace")
+    p, _dm, _ss = _invert_segment(_CTL_DATA, [("text", "text")], "url", "whitespace")
     d = tempfile.mkdtemp(dir=TMPFS)
     pq.write_table(pa.Table.from_pandas(p, preserve_index=False),
                    os.path.join(d, "p.parquet"))
