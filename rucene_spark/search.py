@@ -58,7 +58,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .bm25 import avgdl32, idf32, norm_cache32
 from .build import load_manifest
-from .codec import delta_decode, unpack_ints, unpack_positions
+from .codec import (
+    batch_delta_decode,
+    batch_unpack,
+    batch_unpack_positions,
+    delta_decode,
+    unpack_ints,
+)
 from .phrase import exact_phrase_freq, sloppy_phrase_freq
 from .query import (
     BooleanQuery,
@@ -713,62 +719,10 @@ class IndexSearcher:
 
     # -- leaves ---------------------------------------------------------
 
-    def _decode_score_fn(self, weight32: np.float32, idf_64: float,
-                         boost64: float, field: str):
-        """mapInPandas closure: unpack blocks → vectorized BM25 per doc."""
-        cache = self.cache_f[field]
-        scoring = self.scoring
-        avgdl64 = self.avgdl64_f[field]
-        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
-
-        def fn(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                segs, docs, scores = [], [], []
-                for row in pdf.itertuples(index=False):
-                    n = row.num_docs
-                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
-                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
-                    nb = unpack_ints(row.norms_bin, n).astype(np.int64)
-                    if scoring == "lucene":
-                        tff = tf.astype(np.float32)
-                        sc = (wk32 * tff) / (tff + cache[nb])
-                    else:
-                        dl = unpack_ints(row.dls_bin, n).astype(np.float64)
-                        tff = tf.astype(np.float64)
-                        denom = tff + 1.2 * (0.25 + 0.75 * dl / avgdl64)
-                        sc = idf_64 * boost64 * 2.2 * tff / denom
-                    segs.append(np.full(n, row.seg, dtype=np.int32))
-                    docs.append(d)
-                    scores.append(sc)
-                if not segs:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "seg": np.concatenate(segs),
-                        "doc": np.concatenate(docs),
-                        "score": np.concatenate(scores),
-                    }
-                )
-
-        return fn
-
     def _term_frame(self, q: TermQuery, boost: np.float32, stats: dict) -> DataFrame:
-        self._check_field(q.field)
-        row = stats.get((q.field, q.term))
-        df_ = int(row["df"]) if row else 0
-        total_boost = np.float32(boost * np.float32(q.boost))
-        weight32 = np.float32(idf32(max(df_, 1), self.doc_count) * total_boost)
-        idf_64 = float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
-        scan = self._postings.filter(
-            (F.col("field") == q.field) & (F.col("term") == q.term)
-        ).select("seg", "num_docs", "docs_bin", "tfs_bin", "norms_bin",
-                 "dls_bin")
-        return scan.mapInPandas(
-            self._decode_score_fn(weight32, idf_64, float(total_boost), q.field),
-            self._score_schema,
-        )
+        total_boost = float(np.float32(boost * np.float32(q.boost)))
+        return self._batch_term_frame(
+            [(q.field, q.term, "", total_boost, True)], stats, with_tag=False)
 
     def _term_weights(self, field: str, term: str, boost: float, stats: dict):
         """Per-(field, term) scoring constants: (wk32, idf64, boost64)."""
@@ -801,45 +755,91 @@ class IndexSearcher:
         scoring = self.scoring
         avgdl64_f = self.avgdl64_f
         ftype = np.float32 if scoring == "lucene" else np.float64
+        # per-clause scalar coefficients, precomputed with the exact scalar
+        # op order of the row-at-a-time path (bit parity)
+        coef64 = {k: [(tag, scored, np.float32(wk32), (idf_64 * b64) * 2.2)
+                      for tag, scored, wk32, idf_64, b64 in specs_]
+                  for k, specs_ in by_key.items()}
 
         def fn(batches):
+            # whole-batch decode: every block of the Arrow batch is
+            # unpacked in a few numpy passes (batch_unpack /
+            # batch_delta_decode), then clauses are expanded by gather —
+            # no per-block Python loop in the hot path
             for pdf in batches:
-                segs, docs, scores, tags = [], [], [], []
-                for row in pdf.itertuples(index=False):
-                    n = row.num_docs
-                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
-                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
-                    nb = dl = None
-                    cache = cache_f[row.field]
-                    avgdl64 = avgdl64_f[row.field]
-                    for tag, scored, wk32, idf_64, b64 in by_key[(row.field, row.term)]:
-                        if not scored:
-                            sc = np.zeros(n, dtype=ftype)
-                        elif scoring == "lucene":
-                            if nb is None:
-                                nb = unpack_ints(row.norms_bin, n).astype(np.int64)
-                            tff = tf.astype(np.float32)
-                            sc = (wk32 * tff) / (tff + cache[nb])
-                        else:
-                            if dl is None:
-                                dl = unpack_ints(row.dls_bin, n).astype(np.float64)
-                            tff = tf.astype(np.float64)
-                            denom = tff + 1.2 * (0.25 + 0.75 * dl / avgdl64)
-                            sc = idf_64 * b64 * 2.2 * tff / denom
-                        segs.append(np.full(n, row.seg, dtype=np.int32))
-                        docs.append(d)
-                        scores.append(sc)
-                        if with_tag:
-                            tags.append(np.full(n, tag, dtype=object))
-                if not segs:
+                n_rows = len(pdf)
+                if n_rows == 0:
                     continue
+                counts = pdf["num_docs"].to_numpy(np.int64)
+                docs = batch_delta_decode(
+                    batch_unpack(pdf["docs_bin"].tolist(), counts), counts
+                ).astype(np.int64)
+                tfs = batch_unpack(pdf["tfs_bin"].tolist(), counts)
+                v_starts = np.cumsum(counts) - counts
+                flds = pdf["field"].tolist()
+                trms = pdf["term"].tolist()
+                segs_row = pdf["seg"].to_numpy(np.int32)
+
+                # expanded clause table: one entry per (block row, clause)
+                exp_row, exp_tag, exp_scored, exp_wk32, exp_coef, exp_fld = \
+                    [], [], [], [], [], []
+                for i in range(n_rows):
+                    for tag, scored, wk32, c64 in coef64[(flds[i], trms[i])]:
+                        exp_row.append(i)
+                        exp_tag.append(tag)
+                        exp_scored.append(scored)
+                        exp_wk32.append(wk32)
+                        exp_coef.append(c64)
+                        exp_fld.append(flds[i])
+                exp_row = np.asarray(exp_row, dtype=np.int64)
+                identity = exp_row.size == n_rows and (
+                    exp_row == np.arange(n_rows)).all()
+                lens_e = counts[exp_row]
+                out_total = int(lens_e.sum())
+                if identity:
+                    idx = slice(None)
+                else:
+                    ends_e = np.cumsum(lens_e)
+                    idx = (np.repeat(v_starts[exp_row], lens_e)
+                           + np.arange(out_total)
+                           - np.repeat(ends_e - lens_e, lens_e))
+
+                tf_out = tfs[idx]
+                fld_e = np.asarray(exp_fld, dtype=object)
+                scored_e = np.asarray(exp_scored, dtype=bool)
+                if scoring == "lucene":
+                    nbs = batch_unpack(pdf["norms_bin"].tolist(), counts
+                                       ).astype(np.int64)[idx]
+                    denom = np.empty(out_total, dtype=np.float32)
+                    for f_ in set(exp_fld):
+                        m = np.repeat(fld_e == f_, lens_e)
+                        denom[m] = cache_f[f_][nbs[m]]
+                    wk_v = np.repeat(
+                        np.asarray(exp_wk32, dtype=np.float32), lens_e)
+                    tff = tf_out.astype(np.float32)
+                    sc = (wk_v * tff) / (tff + denom)
+                else:
+                    dls = batch_unpack(pdf["dls_bin"].tolist(), counts
+                                       ).astype(np.float64)[idx]
+                    avg_v = np.repeat(np.asarray(
+                        [avgdl64_f[f_] for f_ in exp_fld], dtype=np.float64),
+                        lens_e)
+                    coef_v = np.repeat(
+                        np.asarray(exp_coef, dtype=np.float64), lens_e)
+                    tff = tf_out.astype(np.float64)
+                    denom = tff + 1.2 * (0.25 + 0.75 * dls / avg_v)
+                    sc = coef_v * tff / denom
+                sc = sc.astype(ftype)
+                if not scored_e.all():
+                    sc[np.repeat(~scored_e, lens_e)] = 0
                 out = {
-                    "seg": np.concatenate(segs),
-                    "doc": np.concatenate(docs),
-                    "score": np.concatenate(scores),
+                    "seg": np.repeat(segs_row[exp_row], lens_e),
+                    "doc": docs[idx],
+                    "score": sc,
                 }
                 if with_tag:
-                    out["_ct"] = np.concatenate(tags)
+                    out["_ct"] = np.repeat(
+                        np.asarray(exp_tag, dtype=object), lens_e)
                 yield pd.DataFrame(out)
 
         if scan is None:
@@ -880,24 +880,37 @@ class IndexSearcher:
         n_uniq = len(uniq_terms)
 
         def decode(batches):
+            # whole-batch decode (no per-block Python loop); positions are
+            # restored with one varint pass + segmented cumsum
             for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    n = row.num_docs
-                    d = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
-                    tf = unpack_ints(row.tfs_bin, n).astype(np.int64)
-                    nb = unpack_ints(row.norms_bin, n).astype(np.int64)
-                    dl = unpack_ints(row.dls_bin, n).astype(np.int64)
-                    plists = unpack_positions(row.pos_bin, tf)
-                    yield pd.DataFrame(
-                        {
-                            "seg": np.full(n, row.seg, dtype=np.int32),
-                            "doc": d,
-                            "ti": np.full(n, ti_of[row.term], dtype=np.int32),
-                            "norm_byte": nb,
-                            "dl": dl,
-                            "positions": [p.tolist() for p in plists],
-                        }
-                    )
+                if len(pdf) == 0:
+                    continue
+                counts = pdf["num_docs"].to_numpy(np.int64)
+                docs = batch_delta_decode(
+                    batch_unpack(pdf["docs_bin"].tolist(), counts), counts
+                ).astype(np.int64)
+                tfs_ = batch_unpack(pdf["tfs_bin"].tolist(), counts
+                                    ).astype(np.int64)
+                nbs = batch_unpack(pdf["norms_bin"].tolist(), counts
+                                   ).astype(np.int64)
+                dls = batch_unpack(pdf["dls_bin"].tolist(), counts
+                                   ).astype(np.int64)
+                flat_pos, _ = batch_unpack_positions(
+                    pdf["pos_bin"].tolist(), tfs_)
+                plists = np.split(flat_pos, np.cumsum(tfs_)[:-1])
+                tis = np.repeat(
+                    np.asarray([ti_of[t] for t in pdf["term"]],
+                               dtype=np.int32), counts)
+                yield pd.DataFrame(
+                    {
+                        "seg": np.repeat(pdf["seg"].to_numpy(np.int32), counts),
+                        "doc": docs,
+                        "ti": tis,
+                        "norm_byte": nbs,
+                        "dl": dls,
+                        "positions": [p.tolist() for p in plists],
+                    }
+                )
 
         scan = self._postings.filter(
             (F.col("field") == q.field) & F.col("term").isin(uniq_terms)

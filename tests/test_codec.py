@@ -81,3 +81,70 @@ def test_positions_with_zero_tf_docs():
     buf = pack_positions(np.concatenate(pos_lists), tfs)
     out = unpack_positions(buf, tfs)
     assert (out[0] == [5, 6]).all() and out[1].size == 0 and (out[2] == [9]).all()
+
+
+# ---------------------------------------------------------------------------
+# batched multi-buffer decode (the searcher's hot path)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_unpack_matches_per_block():
+    from rucene_spark.codec import batch_unpack
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        bufs, counts, want = [], [], []
+        for _ in range(rng.integers(1, 40)):
+            kind = rng.integers(0, 4)
+            if kind == 0:  # varint tail
+                n = int(rng.integers(1, BLOCK_SIZE))
+                v = rng.integers(0, 1 << int(rng.integers(1, 40)), n).astype(np.uint64)
+            elif kind == 1:  # ALL_VALUES_EQUAL full block
+                n = BLOCK_SIZE
+                v = np.full(n, rng.integers(0, 1 << 30), dtype=np.uint64)
+            else:  # FOR full block, random bit width
+                n = BLOCK_SIZE
+                v = rng.integers(0, 1 << int(rng.integers(1, 40)), n).astype(np.uint64)
+            bufs.append(pack_ints(v))
+            counts.append(n)
+            want.append(v)
+        got = batch_unpack(bufs, np.array(counts))
+        assert (got == np.concatenate(want)).all()
+
+
+def test_batch_delta_decode_matches_per_block():
+    from rucene_spark.codec import batch_delta_decode, batch_unpack
+
+    rng = np.random.default_rng(8)
+    bufs, counts, want = [], [], []
+    for _ in range(25):
+        n = int(rng.integers(1, 200))
+        n = min(n, BLOCK_SIZE)
+        docs = np.sort(rng.choice(1 << 20, size=n, replace=False)).astype(np.uint64)
+        bufs.append(pack_ints(delta_encode(docs)))
+        counts.append(n)
+        want.append(docs)
+    counts = np.array(counts)
+    got = batch_delta_decode(batch_unpack(bufs, counts), counts)
+    assert (got == np.concatenate(want)).all()
+
+
+def test_batch_unpack_positions_matches_per_block():
+    from rucene_spark.codec import batch_unpack_positions
+
+    rng = np.random.default_rng(9)
+    bufs, all_tfs, counts, want = [], [], [], []
+    for _ in range(20):
+        n_docs = int(rng.integers(1, 30))
+        tfs = rng.integers(0, 6, n_docs).astype(np.int64)
+        pos_lists = [np.sort(rng.choice(500, size=t, replace=False)) for t in tfs]
+        flat = (np.concatenate(pos_lists) if tfs.sum() else
+                np.empty(0, dtype=np.int64))
+        bufs.append(pack_positions(flat.astype(np.uint64), tfs))
+        all_tfs.append(tfs)
+        counts.append(n_docs)
+        want.extend(pos_lists)
+    flat_pos, tfs_out = batch_unpack_positions(bufs, np.concatenate(all_tfs))
+    exp = (np.concatenate(want) if sum(len(w) for w in want) else
+           np.empty(0, dtype=np.int64))
+    assert (flat_pos == exp).all()
