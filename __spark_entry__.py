@@ -67,7 +67,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     if sf_dir not in _INDEX_CACHE:
         idx_dir = os.path.join(
             tempfile.gettempdir(),
-            "rucene_spark_idx_v5_" + sf_dir.replace("/", "_"),
+            "rucene_spark_idx_v6_" + sf_dir.replace("/", "_"),
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
             "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")

@@ -61,11 +61,13 @@ MANIFEST = "manifest.json"
 
 _MANIFEST_ROW_SCHEMA = (
     "segment_id long, status string, docs long, terms long, blocks long, "
-    "postings long, ttf long, build_secs double, min_key string, max_key string"
+    "postings long, ttf long, build_secs double, min_key string, "
+    "max_key string, dir string"
 )
 
 _POSTINGS_PA_SCHEMA = pa.schema(
     [
+        ("seg", pa.int32()),
         ("field", pa.string()),
         ("term", pa.string()),
         ("block_id", pa.int32()),
@@ -311,8 +313,15 @@ def _build_segment_files(
 
     t0 = time.time()
     pdf = pdf.drop(columns=["segment_id"])
-    # `seg` itself is the partition directory (seg=N), not a file column
     postings, docmeta, segstats = _invert_segment(pdf, fields, key_col, analyzer)
+    # `seg` is stored IN the files (constant column, ~free under RLE): the
+    # manifest — not directory discovery — decides which dirs are live,
+    # which is what makes every publish a single atomic manifest swap
+    # (the segments_N commit-point discipline, index_writer.rs:630-640)
+    postings.insert(0, "seg", np.int32(seg))
+    docmeta.insert(0, "seg", np.int32(seg))
+    segstats.insert(0, "seg", np.int32(seg))
+    dirname = f"seg-{seg}-base"
 
     _atomic_write_dir(
         lambda d: pq.write_table(
@@ -320,7 +329,7 @@ def _build_segment_files(
             os.path.join(d, "part-0.parquet"),
             row_group_size=16384,
         ),
-        os.path.join(index_dir, "postings", f"seg={seg}"),
+        os.path.join(index_dir, "postings", dirname),
     )
     dm_table = pa.Table.from_pandas(docmeta, preserve_index=False)
     # Spark cannot read TIMESTAMP(NANOS); downcast any ns timestamps to us
@@ -331,14 +340,14 @@ def _build_segment_files(
             )
     _atomic_write_dir(
         lambda d: pq.write_table(dm_table, os.path.join(d, "part-0.parquet")),
-        os.path.join(index_dir, "docmeta", f"seg={seg}"),
+        os.path.join(index_dir, "docmeta", dirname),
     )
     _atomic_write_dir(
         lambda d: pq.write_table(
             pa.Table.from_pandas(segstats, preserve_index=False),
             os.path.join(d, "part-0.parquet"),
         ),
-        os.path.join(index_dir, "segstats", f"seg={seg}"),
+        os.path.join(index_dir, "segstats", dirname),
     )
 
     keys = pdf[key_col].astype(str)
@@ -353,6 +362,7 @@ def _build_segment_files(
         "build_secs": time.time() - t0,
         "min_key": keys.min() if len(keys) else "",
         "max_key": keys.max() if len(keys) else "",
+        "dir": dirname,
     }
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     mtmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
@@ -443,16 +453,22 @@ class IndexWriter:
                 .applyInPandas(fn, _MANIFEST_ROW_SCHEMA).collect())
         new_rows = sorted((r.asDict() for r in rows),
                           key=lambda r: r["segment_id"])
+        # delta segments get a fresh generation: buffered deletes recorded
+        # before this commit never apply to them (the delete-then-reindex
+        # flow; DocumentsWriterDeleteQueue sequence-number analogue)
+        gen = int(m.get("gen_counter", 0)) + 1
         for r in new_rows:
             r["status"] = "delta"
+            r["gen"] = gen
 
         m["segments"] = m["segments"] + new_rows
+        m["gen_counter"] = gen
         m["doc_count"] = int(sum(s["docs"] for s in m["segments"]))
-        # authoritative recompute over all segments' stat partials (older
-        # manifest rows may predate the per-row ttf field)
-        field_stats = write_term_stats(
-            self.spark, self.index_dir, max(1, len(m["segments"]) // 4))
+        # authoritative recompute over all segments' stat partials
+        field_stats, ts_name = write_term_stats(
+            self.spark, self.index_dir, max(1, len(m["segments"]) // 4), m)
         m["field_stats"] = field_stats
+        m["term_stats_dir"] = ts_name
         m["sum_ttf"] = field_stats.get(self.field, {}).get("sum_ttf", 0)
         write_manifest(self.index_dir, m)
         return m
@@ -489,35 +505,89 @@ class IndexWriter:
             .collect()
         )
         seg_rows = sorted((r.asDict() for r in rows), key=lambda r: r["segment_id"])
-
-        field_stats = write_term_stats(self.spark, self.index_dir,
-                                       max(1, self.n_segments // 4))
+        for r in seg_rows:
+            r["gen"] = 0
         doc_count = int(sum(r["docs"] for r in seg_rows))
 
         manifest = {
-            "version": 5,
+            "version": 6,
             "field": self.field,
             "fields": [fn_ for fn_, _ in self.fields],
             "field_cols": {fn_: c for fn_, c in self.fields},
-            "field_stats": field_stats,
             "analyzer": self.analyzer,
             "partitioner": self.partitioner,
             "key_col": self.key_col,
             "n_segments": self.n_segments,
             "doc_count": doc_count,
-            "sum_ttf": field_stats.get(self.field, {}).get("sum_ttf", 0),
+            "gen_counter": 0,
             "segments": seg_rows,
         }
+        field_stats, ts_name = write_term_stats(
+            self.spark, self.index_dir, max(1, self.n_segments // 4), manifest)
+        manifest["field_stats"] = field_stats
+        manifest["term_stats_dir"] = ts_name
+        manifest["sum_ttf"] = field_stats.get(self.field, {}).get("sum_ttf", 0)
         write_manifest(self.index_dir, manifest)
         return manifest
 
 
+def seg_dir(seg_row: dict) -> str:
+    """Physical dir of one segment within each table tree. The name embeds
+    a token so republishing (merge) never collides with a live dir — the
+    manifest swap is the only publish step (Lucene's write-new-files /
+    swap-commit-point / drop-old-files order)."""
+    return seg_row.get("dir") or f"seg={seg_row['segment_id']}"
+
+
+def seg_table_paths(index_dir: str, manifest: dict, table: str) -> list[str]:
+    return [os.path.join(index_dir, table, seg_dir(s))
+            for s in manifest["segments"]]
+
+
+def read_seg_table(spark: SparkSession, index_dir: str, manifest: dict,
+                   table: str) -> DataFrame:
+    """Read exactly the manifest-listed segment dirs of one table — never
+    directory discovery, so concurrently staged/orphaned dirs are
+    invisible (TrackingDirectoryWrapper's read-side discipline)."""
+    paths = seg_table_paths(index_dir, manifest, table)
+    if any("dir" not in s for s in manifest["segments"]):
+        # legacy v5 layout: hive-style seg=N dirs carry seg in the path
+        return (spark.read.option("basePath", os.path.join(index_dir, table))
+                .parquet(*paths))
+    return spark.read.parquet(*paths)
+
+
+def gc_index(index_dir: str) -> list[str]:
+    """Remove dirs no commit point references (orphans from crashed
+    merges/builds). Safe under the single-writer model: anything not in
+    the CURRENT manifest is dead by definition."""
+    m = load_manifest(index_dir)
+    live = {(t, seg_dir(s)) for s in m["segments"]
+            for t in ("postings", "docmeta", "segstats")}
+    ts_live = m.get("term_stats_dir", "term_stats")
+    removed = []
+    for table in ("postings", "docmeta", "segstats"):
+        root = os.path.join(index_dir, table)
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if (table, d) not in live:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                removed.append(os.path.join(table, d))
+    for d in os.listdir(index_dir):
+        if (d.startswith("term_stats") and d != ts_live) or \
+                d.startswith("tmpstage-"):
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def write_term_stats(spark: SparkSession, index_dir: str,
-                     n_parts: int) -> dict:
-    """(Re)aggregate per-segment stat partials into the global term_stats
-    table; returns per-field collection stats
-    ``{field: {"sum_ttf": int}}`` (searcher.rs:732-767 per-field
-    CollectionStatistics analogue).
+                     n_parts: int, manifest: dict) -> tuple[dict, str]:
+    """(Re)aggregate per-segment stat partials into a NEW versioned
+    term_stats dir (committed by the manifest swap, never overwritten in
+    place); returns ``({field: {"sum_ttf": int}}, dirname)``
+    (searcher.rs:732-767 per-field CollectionStatistics analogue).
 
     The per-segment pre-aggregation is the skew guard: a hot term enters
     this shuffle with at most one partial row per segment. Output files are
@@ -525,7 +595,7 @@ def write_term_stats(spark: SparkSession, index_dir: str,
     range-sampling pass), which keeps Parquet row-group pruning for the
     searcher's ``term IN (...)`` stats lookups.
     """
-    segstats = spark.read.parquet(os.path.join(index_dir, "segstats"))
+    segstats = read_seg_table(spark, index_dir, manifest, "segstats")
     term_stats = (
         segstats
         .repartition(max(1, n_parts), "field", "term")
@@ -539,11 +609,13 @@ def write_term_stats(spark: SparkSession, index_dir: str,
         )
         .sortWithinPartitions("field", "term")
     )
-    ts_dir = os.path.join(index_dir, "term_stats")
+    ts_name = f"term_stats-{uuid.uuid4().hex[:8]}"
+    ts_dir = os.path.join(index_dir, ts_name)
     term_stats.write.mode("overwrite").parquet(ts_dir)
     rows = (spark.read.parquet(ts_dir).groupBy("field")
             .agg(F.sum("ttf").alias("sttf")).collect())
-    return {r["field"]: {"sum_ttf": int(r["sttf"] or 0)} for r in rows}
+    return ({r["field"]: {"sum_ttf": int(r["sttf"] or 0)} for r in rows},
+            ts_name)
 
 
 def write_manifest(index_dir: str, manifest: dict) -> None:

@@ -44,7 +44,10 @@ import pyarrow.parquet as pq
 from pyspark.sql import SparkSession, functions as F
 
 from .build import (
+    gc_index,
     load_manifest,
+    read_seg_table,
+    seg_dir,
     write_manifest,
     write_term_stats,
 )
@@ -54,7 +57,8 @@ from .codec import delta_decode, delta_encode, pack_ints, pack_positions, \
 TOMBSTONES = "tombstones"
 
 _BLOCK_SCHEMA_DDL = (
-    "field string, term string, block_id int, num_docs int, first_doc long, last_doc long, "
+    "seg int, field string, term string, block_id int, num_docs int, "
+    "first_doc long, last_doc long, "
     "max_tf int, max_norm_byte int, min_dl long, ttf long, "
     "docs_bin binary, tfs_bin binary, norms_bin binary, dls_bin binary, "
     "pos_bin binary"
@@ -66,12 +70,22 @@ _BLOCK_SCHEMA_DDL = (
 # ---------------------------------------------------------------------------
 
 
-def delete_by_keys(index_dir: str, keys: list) -> int:
+def delete_by_keys(index_dir: str, keys: list, gen: int | None = None) -> int:
     """Buffer delete-by-key tombstones (index_writer.rs:471 delete_by_term
-    analogue). Applied logically at query time, physically at merge."""
+    analogue). Applied logically at query time, physically at merge.
+
+    Each tombstone records the commit generation at delete time; it only
+    ever applies to segments with ``seg.gen <= gen`` — re-adding the same
+    key later creates a higher-gen segment the tombstone cannot touch
+    (DocumentsWriterDeleteQueue sequence-number semantics)."""
+    if gen is None:
+        gen = int(load_manifest(index_dir).get("gen_counter", 0))
     d = os.path.join(index_dir, TOMBSTONES)
     os.makedirs(d, exist_ok=True)
-    t = pa.table({"key": pa.array([str(k) for k in keys], type=pa.string())})
+    t = pa.table({
+        "key": pa.array([str(k) for k in keys], type=pa.string()),
+        "gen": pa.array([int(gen)] * len(keys), type=pa.int64()),
+    })
     pq.write_table(t, os.path.join(d, f"tomb-{uuid.uuid4().hex[:12]}.parquet"))
     return len(keys)
 
@@ -85,10 +99,12 @@ def delete_by_query(spark: SparkSession, index_dir: str, query) -> int:
     from .search import IndexSearcher
 
     s = IndexSearcher(spark, index_dir)
+    gen = int(s.manifest.get("gen_counter", 0))
     frame = s._live(s._frame(query, np.float32(1.0), needs_scores=False))
     keys = (
         s._docmeta.join(frame.select("seg", "doc"), ["seg", "doc"])
-        .select(F.col(s.key_col).cast("string").alias("key"))
+        .select(F.col(s.key_col).cast("string").alias("key"),
+                F.lit(gen).cast("long").alias("gen"))
         .distinct()
     )
     n = keys.count()
@@ -189,17 +205,17 @@ class TieredMergePolicy:
         return best
 
 
-def segment_sizes(index_dir: str, seg_ids: list[int]) -> dict[int, int]:
+def segment_sizes(index_dir: str, manifest: dict) -> dict[int, int]:
     """On-disk bytes per segment (postings + docmeta + segstats dirs)."""
     out = {}
-    for sid in seg_ids:
+    for s in manifest["segments"]:
         total = 0
         for sub in ("postings", "docmeta", "segstats"):
-            d = os.path.join(index_dir, sub, f"seg={sid}")
+            d = os.path.join(index_dir, sub, seg_dir(s))
             if os.path.isdir(d):
                 for f in os.listdir(d):
                     total += os.path.getsize(os.path.join(d, f))
-        out[sid] = total
+        out[s["segment_id"]] = total
     return out
 
 
@@ -208,19 +224,17 @@ def segment_sizes(index_dir: str, seg_ids: list[int]) -> dict[int, int]:
 # ---------------------------------------------------------------------------
 
 
-def _staged_spark_write(df, index_dir: str, name: str, n_parts: int,
-                        sort_cols) -> str:
-    """Write a DataFrame to a stage dir OUTSIDE the partition-discovered
-    table trees (so ``spark.read.parquet(postings/)`` never sees half-written
-    ``seg=…`` dirs), range-partitioned + sorted; returns the stage path.
-    No ``_``/``.`` prefix — Spark's hidden-path filter would skip those."""
-    stage = os.path.join(index_dir, f"tmpstage-{name}-{uuid.uuid4().hex[:8]}")
+def _write_sorted(df, path: str, n_parts: int, sort_cols) -> None:
+    """Write a DataFrame range-partitioned + sorted to a FRESH dir. The
+    dir is referenced by nothing until the manifest swap commits it, so
+    no rename/replace protocol is needed (readers follow the manifest's
+    dir list, never directory discovery). No ``_``/``.`` prefix in names —
+    Spark's hidden-path filter would skip those."""
     (
         df.repartitionByRange(max(1, n_parts), *sort_cols)
         .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite").parquet(stage)
+        .write.mode("overwrite").parquet(path)
     )
-    return stage
 
 
 class SegmentMerger:
@@ -245,54 +259,89 @@ class SegmentMerger:
         assert idxs == list(range(idxs[0], idxs[0] + len(idxs))), (
             f"merge candidates must be adjacent in segment order: {run}")
         new_seg = run[0]
+        token = uuid.uuid4().hex[:8]
 
-        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmeta"))
-        dm_run = dm.filter(F.col("seg").isin(run))
+        seg_rows = {s["segment_id"]: s for s in m["segments"]}
+        run_rows = [seg_rows[sid] for sid in run]
+        run_manifest = {"segments": run_rows}
+        dm_run = read_seg_table(self.spark, self.index_dir, run_manifest,
+                                "docmeta")
 
-        # --- resolve tombstones → per-seg sorted deleted doc arrays
-        deleted_by_seg: dict[int, np.ndarray] = {}
-        applied_keys: set[str] = set()
-        if has_tombstones(self.index_dir):
-            tomb = self.spark.read.parquet(
-                os.path.join(self.index_dir, TOMBSTONES))
+        # --- resolve tombstones DISTRIBUTED → seg-partitioned side parquet
+        # (no per-doc driver collect: a merge folding 10^8 deletes streams
+        # them through a join + partitioned write; executors read only
+        # their segment's slice back)
+        del_dir = None
+        del_counts: dict[int, int] = {}
+        tomb_dir_p = os.path.join(self.index_dir, TOMBSTONES)
+        tomb_files_before = (
+            [f for f in os.listdir(tomb_dir_p) if f.endswith(".parquet")]
+            if os.path.isdir(tomb_dir_p) else [])
+        if tomb_files_before:
+            tomb = self.spark.read.parquet(tomb_dir_p)
+            if "gen" not in tomb.columns:
+                tomb = tomb.withColumn("gen", F.lit(1 << 62))
+            tomb_k = tomb.select(F.col("key").alias("_tk"),
+                                 F.col("gen").alias("_tg")).distinct()
+            # a tombstone applies only to segments committed at or before
+            # the delete (seg.gen <= tomb.gen)
+            gen_map = F.create_map(*[
+                F.lit(x) for s in run_rows
+                for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
             hit = (
                 dm_run.join(
-                    F.broadcast(tomb.select(F.col("key").alias("_tk")).distinct()),
-                    F.col(key_col).cast("string") == F.col("_tk"))
-                .select("seg", "doc", "_tk").collect()
+                    F.broadcast(tomb_k),
+                    (F.col(key_col).cast("string") == F.col("_tk"))
+                    & (F.element_at(gen_map, F.col("seg").cast("long"))
+                       <= F.col("_tg")))
+                .select("seg", "doc").distinct()
             )
-            for r in hit:
-                deleted_by_seg.setdefault(int(r["seg"]), []).append(int(r["doc"]))
-                applied_keys.add(r["_tk"])
-            deleted_by_seg = {
-                s: np.array(sorted(v), dtype=np.int64)
-                for s, v in deleted_by_seg.items()
+            del_dir = os.path.join(
+                self.index_dir, f"tmpstage-dels-{token}")
+            hit.write.partitionBy("seg").parquet(del_dir)
+            del_counts = {
+                int(r["seg"]): int(r["n"])
+                for r in self.spark.read.parquet(del_dir)
+                .groupBy("seg").agg(F.count("*").alias("n")).collect()
             }
-        n_deleted = int(sum(len(v) for v in deleted_by_seg.values()))
+        n_deleted = int(sum(del_counts.values()))
 
         # --- per-seg doc offsets over live docs, in run order
-        seg_rows = {s["segment_id"]: s for s in m["segments"]}
         offsets: dict[int, int] = {}
         base = 0
         for sid in run:
             offsets[sid] = base
-            base += int(seg_rows[sid]["docs"]) - len(deleted_by_seg.get(sid, ()))
+            base += int(seg_rows[sid]["docs"]) - del_counts.get(sid, 0)
         total_live = base
 
         sc = self.spark.sparkContext
-        b_del = sc.broadcast({s: v for s, v in deleted_by_seg.items()})
         b_off = sc.broadcast(offsets)
 
+        postings_run = read_seg_table(self.spark, self.index_dir,
+                                      run_manifest, "postings")
         # block_id re-key: unique + ordered by (seg, block_id) within a term
-        maxb_row = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
-            .filter(F.col("seg").isin(run)).agg(F.max("block_id")).first()
-        )
+        maxb_row = postings_run.agg(F.max("block_id")).first()
         maxb = int(maxb_row[0] or 0) + 1
         seg_rank = {sid: i for i, sid in enumerate(run)}
         b_rank = sc.broadcast(seg_rank)
+        del_path = del_dir
+
+        def _load_dels(cache: dict, seg: int):
+            """Per-task lazy load of one segment's sorted deleted-doc ids
+            from the side parquet (partition-pruned read)."""
+            if del_path is None:
+                return None
+            if seg not in cache:
+                p = os.path.join(del_path, f"seg={seg}")
+                if os.path.isdir(p):
+                    arr = pq.read_table(p).column("doc").to_numpy()
+                    cache[seg] = np.sort(arr.astype(np.int64))
+                else:
+                    cache[seg] = None
+            return cache[seg]
 
         def remap(batches):
+            dcache: dict = {}
             for pdf in batches:
                 out = {name: [] for name in (
                     "field", "term", "block_id", "num_docs", "first_doc", "last_doc",
@@ -303,7 +352,7 @@ class SegmentMerger:
                     n = row.num_docs
                     docs = delta_decode(unpack_ints(row.docs_bin, n)).astype(np.int64)
                     tfs = unpack_ints(row.tfs_bin, n).astype(np.int64)
-                    dels = b_del.value.get(seg)
+                    dels = _load_dels(dcache, seg)
                     if dels is not None and dels.size:
                         pos_in_del = np.searchsorted(dels, docs)
                         hit = (pos_in_del < dels.size) & (
@@ -345,26 +394,27 @@ class SegmentMerger:
                     out["dls_bin"].append(pack_ints(dls.astype(np.uint64)))
                     out["pos_bin"].append(pos_bin)
                 if out["term"]:
-                    yield pd.DataFrame(out)
+                    odf = pd.DataFrame(out)
+                    odf.insert(0, "seg", np.int32(new_seg))
+                    yield odf
 
-        postings = self.spark.read.parquet(
-            os.path.join(self.index_dir, "postings"))
-        merged = postings.filter(F.col("seg").isin(run)).mapInPandas(
-            remap, _BLOCK_SCHEMA_DDL)
+        merged = postings_run.mapInPandas(remap, _BLOCK_SCHEMA_DDL)
         n_parts = max(1, len(run))
-        post_stage = _staged_spark_write(
-            merged, self.index_dir, "postings", n_parts,
-            ["field", "term", "block_id"])
+        new_dir = f"seg-{new_seg}-m{token}"
+        post_path = os.path.join(self.index_dir, "postings", new_dir)
+        _write_sorted(merged, post_path, n_parts,
+                      ["field", "term", "block_id"])
 
         # --- docmeta remap
-        dm_cols = [f for f in dm_run.schema.fieldNames() if f != "seg"]
+        dm_field_order = [f.name for f in dm_run.schema.fields]
 
         def remap_docs(batches):
+            dcache: dict = {}
             for pdf in batches:
                 for seg, grp in pdf.groupby("seg"):
                     seg = int(seg)
                     docs = grp["doc"].to_numpy(dtype=np.int64)
-                    dels = b_del.value.get(seg)
+                    dels = _load_dels(dcache, seg)
                     if dels is not None and dels.size:
                         pos_in_del = np.searchsorted(dels, docs)
                         hit = (pos_in_del < dels.size) & (
@@ -376,58 +426,82 @@ class SegmentMerger:
                         shift = np.zeros(len(grp), dtype=np.int64)
                     sub = grp[keep].copy()
                     sub["doc"] = (docs - shift + b_off.value[seg])[keep]
-                    yield sub.drop(columns=["seg"])
+                    sub["seg"] = np.int32(new_seg)
+                    yield sub[dm_field_order]
 
         dm_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
-            for f in dm_run.schema.fields if f.name != "seg")
+            for f in dm_run.schema.fields)
         dm_merged = dm_run.mapInPandas(remap_docs, dm_ddl)
-        dm_stage = _staged_spark_write(
-            dm_merged, self.index_dir, "docmeta", n_parts, ["doc"])
+        dm_path = os.path.join(self.index_dir, "docmeta", new_dir)
+        _write_sorted(dm_merged, dm_path, n_parts, ["doc"])
 
         # --- segstats for the new segment, from new block metadata only
-        new_postings = self.spark.read.parquet(post_stage)
+        new_postings = self.spark.read.parquet(post_path)
         segstats = (
             new_postings.groupBy("field", "term")
             .agg(F.sum("num_docs").alias("df"), F.sum("ttf").alias("ttf"),
                  F.max("max_tf").alias("max_tf"),
                  F.max("max_norm_byte").alias("max_norm_byte"),
                  F.min("min_dl").alias("min_dl"))
+            # same column types as the base segment writer (int64 stats),
+            # so the explicit-path union never hits a parquet type clash
+            .select(F.lit(new_seg).cast("int").alias("seg"), "field", "term",
+                    F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf"),
+                    F.col("max_tf").cast("long").alias("max_tf"),
+                    F.col("max_norm_byte").cast("long").alias("max_norm_byte"),
+                    F.col("min_dl").cast("long").alias("min_dl"))
         )
-        ss_stage = _staged_spark_write(
-            segstats, self.index_dir, "segstats", 1, ["field", "term"])
-        stats_counts = self.spark.read.parquet(ss_stage).agg(
+        ss_path = os.path.join(self.index_dir, "segstats", new_dir)
+        _write_sorted(segstats, ss_path, 1, ["field", "term"])
+        stats_counts = self.spark.read.parquet(ss_path).agg(
             F.count("*"), F.sum("df"), F.sum("ttf")).first()
         blocks_count = new_postings.count()
 
-        # --- publish: swap stage dirs into place, drop merged inputs
-        for sub, stage in (("postings", post_stage), ("docmeta", dm_stage),
-                           ("segstats", ss_stage)):
-            for sid in run:
-                d = os.path.join(self.index_dir, sub, f"seg={sid}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
-            os.replace(stage,
-                       os.path.join(self.index_dir, sub, f"seg={new_seg}"))
+        # --- stage the surviving tombstones (gen-scoped consumption: a key
+        # is kept iff it can still hide a doc OUTSIDE the run — i.e. some
+        # doc in a not-merged segment with seg.gen <= tomb.gen matches it;
+        # everything it matched inside the run was physically squeezed)
+        tomb_stage = None
+        n_remaining = 0
+        if tomb_files_before:
+            tomb_all = self.spark.read.parquet(tomb_dir_p)
+            if "gen" not in tomb_all.columns:
+                tomb_all = tomb_all.withColumn("gen", F.lit(1 << 62))
+            outside_rows = [s for s in m["segments"]
+                            if s["segment_id"] not in run]
+            if outside_rows:
+                dm_out = read_seg_table(
+                    self.spark, self.index_dir,
+                    {"segments": outside_rows}, "docmeta")
+                gen_map_out = F.create_map(*[
+                    F.lit(x) for s in outside_rows
+                    for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
+                live = dm_out.select(
+                    F.col(key_col).cast("string").alias("_k"),
+                    F.element_at(gen_map_out,
+                                 F.col("seg").cast("long")).alias("_sg"))
+                remaining = tomb_all.join(
+                    live,
+                    (F.col("key") == F.col("_k"))
+                    & (F.col("_sg") <= F.col("gen")),
+                    "left_semi").distinct()
+            else:
+                remaining = tomb_all.limit(0)
+            n_remaining = remaining.count()
+            if n_remaining:
+                tomb_stage = os.path.join(
+                    self.index_dir, f"tmpstage-tomb-{token}")
+                remaining.write.parquet(tomb_stage)
 
-        # consume applied tombstones
-        if applied_keys:
-            tomb_dir = os.path.join(self.index_dir, TOMBSTONES)
-            remaining = (
-                self.spark.read.parquet(tomb_dir)
-                .filter(~F.col("key").isin(list(applied_keys)))
-                .toPandas()
-            )
-            shutil.rmtree(tomb_dir)
-            if len(remaining):
-                delete_by_keys(self.index_dir, remaining["key"].tolist())
-
-        # --- manifest swap with lineage + metrics (north_rule)
-        keys_mm = self.spark.read.parquet(
-            os.path.join(self.index_dir, "docmeta", f"seg={new_seg}")
-        ).agg(F.min(F.col(key_col).cast("string")),
-              F.max(F.col(key_col).cast("string")),
-              F.count("*")).first()
+        # --- manifest swap = THE commit (crash before this leaves the old
+        # commit fully intact; orphaned staged dirs are gc'd)
+        keys_mm = self.spark.read.parquet(dm_path).agg(
+            F.min(F.col(key_col).cast("string")),
+            F.max(F.col(key_col).cast("string")),
+            F.count("*")).first()
+        new_gen = int(m.get("gen_counter", 0)) + 1
         new_row = {
             "segment_id": new_seg,
             "status": "merged",
@@ -439,6 +513,8 @@ class SegmentMerger:
             "build_secs": time.time() - t0,
             "min_key": keys_mm[0] or "",
             "max_key": keys_mm[1] or "",
+            "dir": new_dir,
+            "gen": new_gen,
             "merged_from": run,
             "deleted_docs": n_deleted,
         }
@@ -447,13 +523,33 @@ class SegmentMerger:
         new_segments.append(new_row)
         new_segments.sort(key=lambda s: s["segment_id"])
         m["segments"] = new_segments
+        m["gen_counter"] = new_gen
         m["doc_count"] = int(sum(s["docs"] for s in new_segments))
-        field_stats = write_term_stats(
-            self.spark, self.index_dir, max(1, len(new_segments) // 4))
+        field_stats, ts_name = write_term_stats(
+            self.spark, self.index_dir, max(1, len(new_segments) // 4), m)
         m["field_stats"] = field_stats
+        m["term_stats_dir"] = ts_name
         m["sum_ttf"] = field_stats.get(
             m.get("field", "text"), {}).get("sum_ttf", 0)
         write_manifest(self.index_dir, m)
+
+        # --- post-commit cleanup (all idempotent / crash-safe: new
+        # tombstone files land BEFORE old ones are removed — duplicates
+        # are harmless under the anti-join)
+        if tomb_stage is not None:
+            for i, f in enumerate(sorted(os.listdir(tomb_stage))):
+                if f.endswith(".parquet"):
+                    os.replace(os.path.join(tomb_stage, f),
+                               os.path.join(tomb_dir_p,
+                                            f"tomb-{token}-{i}.parquet"))
+            shutil.rmtree(tomb_stage, ignore_errors=True)
+        for f in tomb_files_before:
+            p = os.path.join(tomb_dir_p, f)
+            if os.path.exists(p):
+                os.remove(p)
+        if del_dir is not None:
+            shutil.rmtree(del_dir, ignore_errors=True)
+        gc_index(self.index_dir)
         return new_row
 
 
@@ -467,8 +563,7 @@ def maybe_merge(spark: SparkSession, index_dir: str,
     done = []
     for _ in range(max_merges):
         m = load_manifest(index_dir)
-        sizes = segment_sizes(
-            index_dir, [s["segment_id"] for s in m["segments"]])
+        sizes = segment_sizes(index_dir, m)
         segs = [dict(s, bytes=sizes[s["segment_id"]]) for s in m["segments"]]
         pick = policy.find_merge(segs)
         if not pick:

@@ -57,7 +57,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .bm25 import avgdl32, idf32, norm_cache32
-from .build import load_manifest
+from .build import load_manifest, read_seg_table
 from .codec import (
     batch_delta_decode,
     batch_unpack,
@@ -117,21 +117,36 @@ class IndexSearcher:
         self.avgdl = self.avgdl_f[self.default_field]
         self.cache = self.cache_f[self.default_field]
         self.avgdl64 = self.avgdl64_f[self.default_field]
-        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self._docmeta = spark.read.parquet(os.path.join(index_dir, "docmeta"))
-        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        # reads go through the manifest's dir list (the commit point), not
+        # directory discovery — a crashed merge's staged dirs are invisible
+        self._postings = read_seg_table(spark, index_dir, m, "postings")
+        self._docmeta = read_seg_table(spark, index_dir, m, "docmeta")
+        self._term_stats = spark.read.parquet(
+            os.path.join(index_dir, m.get("term_stats_dir", "term_stats")))
         # live docs: tombstones resolved to (seg, doc) once, anti-joined onto
         # every match frame (live_docs.rs analogue; stats stay stale until
-        # merge squeezes deletes out, exactly like Lucene)
+        # merge squeezes deletes out, exactly like Lucene). A tombstone
+        # applies only to segments committed at or before the delete
+        # (seg.gen <= tombstone.gen — the DocumentsWriterDeleteQueue
+        # sequence-number rule), so delete-then-reindex never hides the
+        # re-added doc.
         self._deleted = None
         tomb_dir = os.path.join(index_dir, "tombstones")
         if os.path.isdir(tomb_dir) and any(
                 f.endswith(".parquet") for f in os.listdir(tomb_dir)):
-            tomb = (spark.read.parquet(tomb_dir)
-                    .select(F.col("key").alias("_tk")).distinct())
+            tomb = spark.read.parquet(tomb_dir)
+            if "gen" not in tomb.columns:
+                tomb = tomb.withColumn("gen", F.lit(1 << 62))
+            tomb = tomb.select(F.col("key").alias("_tk"),
+                               F.col("gen").alias("_tg")).distinct()
+            gen_map = F.create_map(*[
+                F.lit(x) for s in m["segments"]
+                for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
             self._deleted = self._docmeta.join(
                 F.broadcast(tomb),
-                F.col(self.key_col).cast("string") == F.col("_tk"),
+                (F.col(self.key_col).cast("string") == F.col("_tk"))
+                & (F.element_at(gen_map, F.col("seg").cast("long"))
+                   <= F.col("_tg")),
             ).select("seg", "doc")
         self._score_t = "float" if scoring == "lucene" else "double"
         self._score_schema = _SCORE_SCHEMA if scoring == "lucene" else _SCORE_SCHEMA64

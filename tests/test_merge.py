@@ -228,6 +228,132 @@ def test_delete_by_query(spark, corpus, qterms, tmp_index):
     assert not has_tombstones(tmp_index)
 
 
+def test_delete_then_readd_not_hidden(spark, corpus, tmp_index):
+    """Tombstones are generation-scoped (DocumentsWriterDeleteQueue
+    sequence numbers): delete(k) then re-adding k must NOT hide the new
+    doc, and a merge must not permanently drop it (ADVICE r1)."""
+    from rucene_spark.query import MatchAllDocsQuery
+    _build(spark, corpus, tmp_index, n_segments=4)
+    victim = corpus["url"].iloc[0]
+    delete_by_keys(tmp_index, [victim])
+
+    s0 = IndexSearcher(spark, tmp_index)
+    assert s0.count(MatchAllDocsQuery()) == len(corpus) - 1
+
+    # re-add the SAME key with new content carrying a unique marker term
+    import pandas as pd
+    readd = pd.DataFrame({"url": [victim],
+                          "text": ["zmarker zmarker tail"],
+                          "lang": ["en"]})
+    IndexWriter(spark, tmp_index, n_segments=4).add_documents(
+        spark.createDataFrame(readd), n_segments=1)
+
+    s1 = IndexSearcher(spark, tmp_index)
+    # old copy hidden, new copy visible
+    assert s1.count(MatchAllDocsQuery()) == len(corpus)
+    hits = s1.search(TermQuery("text", "zmarker"), 5).collect()
+    assert [r["url"] for r in hits] == [victim]
+
+    # merge folds the OLD copy only; the re-added doc survives
+    force_merge(spark, tmp_index)
+    s2 = IndexSearcher(spark, tmp_index)
+    assert s2.count(MatchAllDocsQuery()) == len(corpus)
+    hits = s2.search(TermQuery("text", "zmarker"), 5).collect()
+    assert [r["url"] for r in hits] == [victim]
+
+
+def test_partial_merge_keeps_tombstone_for_outside_copy(spark, corpus, tmp_index):
+    """A partial merge may only consume a tombstone if EVERY doc it can
+    hide was inside the merged run; a copy of the key in a segment outside
+    the run must stay hidden (ADVICE r1)."""
+    from rucene_spark.merge import has_tombstones
+    from rucene_spark.query import MatchAllDocsQuery
+    _build(spark, corpus, tmp_index, n_segments=4)
+    dup = corpus["url"].iloc[5]
+    # second copy of the same key in a NEW delta segment (id 4)
+    import pandas as pd
+    readd = pd.DataFrame({"url": [dup], "text": ["zdup zdup"],
+                          "lang": ["en"]})
+    IndexWriter(spark, tmp_index, n_segments=4).add_documents(
+        spark.createDataFrame(readd), n_segments=1)
+    # delete AFTER both copies exist → hides both
+    delete_by_keys(tmp_index, [dup])
+    s0 = IndexSearcher(spark, tmp_index)
+    assert s0.count(MatchAllDocsQuery()) == len(corpus) - 1
+    assert s0.count(TermQuery("text", "zdup")) == 0
+
+    # merge only the base run [0..3]: squeezes the original copy; the
+    # tombstone must SURVIVE to keep the delta-segment copy hidden
+    SegmentMerger(spark, tmp_index).merge([0, 1, 2, 3])
+    assert has_tombstones(tmp_index)
+    s1 = IndexSearcher(spark, tmp_index)
+    assert s1.count(MatchAllDocsQuery()) == len(corpus) - 1
+    assert s1.count(TermQuery("text", "zdup")) == 0
+
+    # full merge finally consumes it
+    force_merge(spark, tmp_index)
+    assert not has_tombstones(tmp_index)
+    s2 = IndexSearcher(spark, tmp_index)
+    assert s2.count(MatchAllDocsQuery()) == len(corpus) - 1
+
+
+def test_manifest_is_the_commit_point(spark, corpus, qterms, tmp_index):
+    """Readers follow the manifest's dir list: orphaned/staged dirs from a
+    crashed merge are invisible, and gc_index removes them (the Lucene
+    publish order: new files, swap commit point, drop old files)."""
+    import os
+    from rucene_spark.build import gc_index, load_manifest, seg_dir
+    _build(spark, corpus, tmp_index, n_segments=4)
+    before = _results(IndexSearcher(spark, tmp_index), qterms)
+
+    # simulate a crashed merge: garbage staged dirs inside the table trees
+    for t in ("postings", "docmeta", "segstats"):
+        os.makedirs(os.path.join(tmp_index, t, "seg-0-mdeadbeef"))
+        with open(os.path.join(tmp_index, t, "seg-0-mdeadbeef",
+                               "part-0.parquet"), "wb") as fh:
+            fh.write(b"not a parquet file")
+    os.makedirs(os.path.join(tmp_index, "tmpstage-dels-crashed"))
+    assert _results(IndexSearcher(spark, tmp_index), qterms) == before
+
+    removed = gc_index(tmp_index)
+    assert any("seg-0-mdeadbeef" in r for r in removed)
+    assert any("tmpstage-dels-crashed" in r for r in removed)
+    assert _results(IndexSearcher(spark, tmp_index), qterms) == before
+
+    # a real merge: all input dirs gone, output dir manifest-listed
+    m0 = load_manifest(tmp_index)
+    old_dirs = {seg_dir(s) for s in m0["segments"]}
+    SegmentMerger(spark, tmp_index).merge([1, 2])
+    m1 = load_manifest(tmp_index)
+    live = {seg_dir(s) for s in m1["segments"]}
+    on_disk = set(os.listdir(os.path.join(tmp_index, "postings")))
+    assert on_disk == live
+    assert not (old_dirs - {seg_dir(s) for s in m0["segments"]
+                            if s["segment_id"] not in (1, 2)}) & on_disk
+    assert _results(IndexSearcher(spark, tmp_index), qterms) == before
+
+
+def test_merge_with_bulk_tombstone_file(spark, corpus, qterms, tmp_index):
+    """10^5-key tombstone file: the merge-delete path must stay distributed
+    (resolution via join + partitioned side parquet, no per-doc collect)."""
+    import numpy as np
+    hi, _, _ = qterms
+    _build(spark, corpus, tmp_index, n_segments=4)
+    s0 = IndexSearcher(spark, tmp_index)
+    top = s0.search(TermQuery("text", hi), 3).collect()
+    victims = [r["url"] for r in top[:2]]
+    bulk = [f"https://absent{i:06d}.example/x" for i in range(100_000)]
+    delete_by_keys(tmp_index, victims + bulk)
+
+    force_merge(spark, tmp_index)
+    m = load_manifest(tmp_index)
+    assert m["doc_count"] == len(corpus) - 2
+    assert m["segments"][0]["deleted_docs"] == 2
+    s1 = IndexSearcher(spark, tmp_index)
+    assert not {r["url"] for r in s1.search(TermQuery("text", hi), 20)
+                .collect()} & set(victims)
+
+
 def test_phrase_positions_survive_merge_with_deletes(spark, corpus, tmp_index):
     # a real bigram from the corpus (same choice rule as the query set)
     longest = corpus.loc[corpus["text"].str.len().idxmax(), "text"].split(" ")

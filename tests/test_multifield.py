@@ -137,9 +137,9 @@ def test_unknown_field_is_hard_error(spark, built, oracle, terms):
 
 
 def test_docmeta_has_per_field_norms(spark, built):
-    import os
+    from rucene_spark.build import load_manifest, read_seg_table
     d, _ = built
-    dm = spark.read.parquet(os.path.join(d, "docmeta"))
+    dm = read_seg_table(spark, d, load_manifest(d), "docmeta")
     cols = set(dm.columns)
     assert {"doc_len", "norm_byte", "doc_len_title", "norm_byte_title"} <= cols
     row = dm.limit(1).collect()[0]
