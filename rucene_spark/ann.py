@@ -22,11 +22,17 @@ dot products on both sides round identically.
 from __future__ import annotations
 
 import hashlib
+from itertools import combinations
 
 from pyspark.sql import DataFrame, functions as F
 
 N_PLANES = 8
 DIM = 64
+
+#: same-bucket self-join guard: buckets larger than this are dropped from
+#: the near-dup pair join (at 10^12 rows a fixed bucket space degenerates;
+#: cap first, then raise n_planes so the expected bucket size stays small)
+NEARDUP_BUCKET_CAP = 10_000
 
 
 def _plane_sign(plane: int, dim: int) -> int:
@@ -34,8 +40,16 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if int(h[:2], 16) % 2 == 1 else -1
 
 
-#: deterministic ±1 hyperplane matrix [N_PLANES][DIM]
-PLANES = [[_plane_sign(i, j) for j in range(DIM)] for i in range(N_PLANES)]
+def make_planes(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix. ``n_planes`` is the scale
+    knob: bucket count = 2^n_planes, so expected bucket size N/2^n —
+    pick n ≈ log2(N / target_bucket_size) as the corpus grows (the
+    round-1 fixed 256-bucket space is just the n=8 default)."""
+    return [[_plane_sign(i, j) for j in range(dim)] for i in range(n_planes)]
+
+
+#: default 8-plane matrix (shared with the DuckDB oracles)
+PLANES = make_planes(N_PLANES)
 
 
 def _dot_lit(vec_col: str, vals: list[float]):
@@ -113,24 +127,26 @@ LIMIT {k}
 # ---------------------------------------------------------------------------
 
 
-def _bucket_col(vec_col: str = "embedding"):
+def _bucket_col(vec_col: str = "embedding", planes: list | None = None):
     b = F.lit(0)
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(planes or PLANES):
         b = b + F.when(_dot_lit(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b
 
 
-def _bucket_sql(vec_expr: str = "embedding") -> str:
+def _bucket_sql(vec_expr: str = "embedding", planes: list | None = None) -> str:
     parts = [
         f"(CASE WHEN {_dot_lit_sql(vec_expr, plane)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, plane in enumerate(PLANES)
+        for i, plane in enumerate(planes or PLANES)
     ]
     return "(" + " + ".join(parts) + ")"
 
 
-def lsh_buckets(df: DataFrame) -> DataFrame:
-    """(vec_id, bucket): 8-bit random-hyperplane signature per vector."""
-    return df.select("vec_id", _bucket_col().alias("bucket")).orderBy("vec_id")
+def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): n-bit random-hyperplane signature per vector."""
+    planes = PLANES if n_planes == N_PLANES else make_planes(n_planes)
+    return df.select(
+        "vec_id", _bucket_col(planes=planes).alias("bucket")).orderBy("vec_id")
 
 
 LSH_BUCKETS_SQL = f"""
@@ -139,20 +155,34 @@ FROM embeddings ORDER BY vec_id
 """
 
 
-def ann_lsh(df: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+def ann_lsh(df: DataFrame, query_vec_id: int, k: int = 10,
+            n_planes: int = N_PLANES, multiprobe: int = 0) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket(s).
     The bucket predicate prunes the scan; the recall/latency trade is the
-    point (the exact baseline is ann_bruteforce)."""
+    point (the exact baseline is ann_bruteforce).
+
+    ``multiprobe`` probes every bucket within hamming distance m of the
+    query's signature (Σ C(n,i) buckets) — the standard recall recovery
+    when n_planes grows: more planes shrink each bucket, multi-probe wins
+    back the neighbors that fell across a hyperplane."""
+    planes = PLANES if n_planes == N_PLANES else make_planes(n_planes)
     q = _query_vec(df, query_vec_id)
     qbucket = 0
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(planes):
         if sum(p * v for p, v in zip(plane, q)) > 0:
             qbucket |= 1 << i
+    probes = [qbucket]
+    for m in range(1, multiprobe + 1):
+        for flips in combinations(range(len(planes)), m):
+            b = qbucket
+            for f_ in flips:
+                b ^= 1 << f_
+            probes.append(b)
     qn = sum(v * v for v in q) ** 0.5
     cos = _dot_lit("embedding", q) / (_norm("embedding") * F.lit(qn))
     return (
         df.where(F.col("vec_id") != query_vec_id)
-        .where(_bucket_col() == qbucket)
+        .where(_bucket_col(planes=planes).isin(probes))
         .select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
@@ -179,14 +209,22 @@ LIMIT {k}
 # ---------------------------------------------------------------------------
 
 
-def embedding_neardup(df: DataFrame, limit: int = 20) -> DataFrame:
+def embedding_neardup(df: DataFrame, limit: int = 20,
+                      n_planes: int = N_PLANES,
+                      bucket_cap: int = NEARDUP_BUCKET_CAP) -> DataFrame:
     """Top pairs by cosine among same-LSH-bucket candidates — the
     embedding analogue of MinHash near-dup (blocking keeps the self-join
-    off the n² diagonal)."""
+    off the n² diagonal). Buckets larger than ``bucket_cap`` are dropped
+    (a bucket of b vectors costs b² pairs); at scale raise ``n_planes``
+    so 2^n tracks corpus size and the cap rarely binds."""
+    planes = PLANES if n_planes == N_PLANES else make_planes(n_planes)
     with_b = df.select(
-        "vec_id", "embedding", _bucket_col().alias("bucket"),
+        "vec_id", "embedding", _bucket_col(planes=planes).alias("bucket"),
         _norm("embedding").alias("_n"),
     )
+    small = (with_b.groupBy("bucket").agg(F.count("*").alias("_bs"))
+             .where(F.col("_bs") <= bucket_cap).select("bucket"))
+    with_b = with_b.join(F.broadcast(small), "bucket")
     a, b = with_b.alias("a"), with_b.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.embedding, b.embedding,"
@@ -206,12 +244,16 @@ def embedding_neardup(df: DataFrame, limit: int = 20) -> DataFrame:
     )
 
 
-def embedding_neardup_sql(limit: int = 20) -> str:
+def embedding_neardup_sql(limit: int = 20,
+                          bucket_cap: int = NEARDUP_BUCKET_CAP) -> str:
     return f"""
-WITH w AS (
+WITH w0 AS (
   SELECT vec_id, embedding, {_bucket_sql()} AS bucket,
          {_norm_sql('embedding')} AS n
-  FROM embeddings)
+  FROM embeddings),
+small AS (SELECT bucket FROM w0 GROUP BY bucket
+          HAVING count(*) <= {bucket_cap}),
+w AS (SELECT w0.* FROM w0 JOIN small USING (bucket))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (a.n * b.n), 6) AS cosine

@@ -36,6 +36,15 @@ N_BANDS = 4        # bands of 2 rows over the 8 permutations
 SHINGLE_K = 3
 SIMHASH_BITS = 60  # our portable hash is 60-bit
 
+#: Blocking-key frequency caps — the 100-TB guards. A stopword shingle
+#: ("of the and") that appears in f docs makes its blocking key cost
+#: O(f²) pairs; capping key frequency keeps the candidate set
+#: sub-quadratic while near-dup pairs (which share RARE keys too) still
+#: meet. Both caps are mirrored into the DuckDB oracles, so gate results
+#: stay value-identical by construction.
+SHINGLE_DF_CAP = 200     # drop blocking shingles with df > cap
+BAND_BUCKET_CAP = 200    # drop LSH band buckets larger than cap
+
 
 def _shingles(df: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles per doc → (doc_id, sh)."""
@@ -161,10 +170,19 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame, limit: int) -> DataFrame:
     )
 
 
-def minhash_candidates(df: DataFrame, limit: int = 20) -> DataFrame:
+def minhash_candidates(df: DataFrame, limit: int = 20,
+                       bucket_cap: int = BAND_BUCKET_CAP) -> DataFrame:
     """LSH candidate pairs (4 bands × 2 rows) verified with exact shingle
-    Jaccard; top ``limit`` by (jaccard desc, doc_a, doc_b)."""
+    Jaccard; top ``limit`` by (jaccard desc, doc_a, doc_b). A degenerate
+    band signature shared by b docs would emit b² candidates — buckets
+    larger than ``bucket_cap`` are dropped (their members still meet
+    through their other, selective bands)."""
     bands = _bands(minhash_signatures(df))
+    small = (bands.groupBy("band", "sig")
+             .agg(F.count("*").alias("_bs"))
+             .where(F.col("_bs") <= bucket_cap)
+             .select("band", "sig"))
+    bands = bands.join(small, ["band", "sig"])
     pairs = (
         bands.alias("a").join(bands.alias("b"), ["band", "sig"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -205,13 +223,18 @@ LIMIT {limit}
 """
 
 
-def minhash_candidates_sql(limit: int = 20) -> str:
+def minhash_candidates_sql(limit: int = 20,
+                           bucket_cap: int = BAND_BUCKET_CAP) -> str:
     return (
         _minhash_sig_core_sql()
         + ", " + _bands_sql()
-        + """, pairs AS (
+        + f""", smallb AS (
+  SELECT band, bsig FROM bands GROUP BY band, bsig
+  HAVING count(*) <= {bucket_cap}),
+cbands AS (SELECT bands.* FROM bands JOIN smallb USING (band, bsig)),
+pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  FROM cbands a JOIN cbands b ON a.band = b.band AND a.bsig = b.bsig
   WHERE a.doc_id < b.doc_id),
 """
         + _PAIR_JACCARD_SQL.format(limit=limit)
@@ -223,13 +246,21 @@ def minhash_candidates_sql(limit: int = 20) -> str:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_topk(df: DataFrame, limit: int = 20) -> DataFrame:
+def ngram_jaccard_topk(df: DataFrame, limit: int = 20,
+                       shingle_df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Top pairs by exact word-3-gram Jaccard; the self-join is blocked on
-    shared shingles (pairs with intersection 0 never materialize)."""
+    shared shingles (pairs with intersection 0 never materialize).
+    Blocking keys with df > ``shingle_df_cap`` are dropped — one stopword
+    shingle shared by f docs would otherwise emit f² pairs; true
+    near-dups also share selective shingles, so they still meet. The
+    Jaccard VERIFICATION uses all shingles, only blocking is capped."""
     sh = _shingles(df)
+    rare = (sh.groupBy("sh").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= shingle_df_cap).select("sh"))
+    blocked = sh.join(rare, "sh")
     pairs = (
-        sh.select(F.col("doc_id").alias("doc_a"), "sh")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        blocked.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(blocked.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -237,12 +268,16 @@ def ngram_jaccard_topk(df: DataFrame, limit: int = 20) -> DataFrame:
     return _pair_jaccard(pairs, sh, limit)
 
 
-def ngram_jaccard_sql(limit: int = 20) -> str:
+def ngram_jaccard_sql(limit: int = 20,
+                      shingle_df_cap: int = SHINGLE_DF_CAP) -> str:
     return (
         f"WITH sh AS ({_SHINGLES_SQL}),\n"
-        + """pairs AS (
+        + f"""rare AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {shingle_df_cap}),
+blocked AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.sh = b.sh
+  FROM blocked a JOIN blocked b ON a.sh = b.sh
   WHERE a.doc_id < b.doc_id),
 """
         + _PAIR_JACCARD_SQL.format(limit=limit)

@@ -131,3 +131,104 @@ def test_multimodal_stub_and_plumbing(spark):
     assert row["magic"] == "PNGx"
     assert row["fake_width"] == ord("P")
     assert row["fake_height"] == ord("N")
+
+
+# ---------------------------------------------------------------------------
+# scale guards: blocking must stay sub-quadratic under skewed keys
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """120 docs all sharing one hot 3-gram ('alpha beta gamma'), plus two
+    true near-dup pairs that also share RARE shingles."""
+    rows = []
+    for i in range(120):
+        rows.append((i, f"alpha beta gamma unique{i}a unique{i}b unique{i}c"))
+    # near-dup pairs: share long rare tails
+    rows.append((200, "alpha beta gamma shared tail one two three four"))
+    rows.append((201, "alpha beta gamma shared tail one two three five"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _blocked_pair_count(sh, spark, cap):
+    from pyspark.sql import functions as F
+    rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= cap).select("sh"))
+    blocked = sh.join(rare, "sh")
+    return (
+        blocked.select(F.col("doc_id").alias("a"), "sh")
+        .join(blocked.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct().count()
+    )
+
+
+def test_ngram_blocking_df_cap_is_subquadratic(spark, skewed_docs):
+    """The hot shingle alone would emit ~n²/2 candidate pairs; with the df
+    cap the candidate count collapses to the rare-key pairs, and the true
+    near-dup pair still surfaces (it shares rare shingles too)."""
+    sh = dedup._shingles(skewed_docs)
+    n = skewed_docs.count()
+    uncapped = _blocked_pair_count(sh, spark, 10**9)
+    capped = _blocked_pair_count(sh, spark, 50)
+    assert uncapped >= n * (n - 1) // 2  # the hot key goes quadratic
+    assert capped < 10 * n               # sub-quadratic after the cap
+
+    pairs = dedup.ngram_jaccard_topk(skewed_docs, limit=5,
+                                     shingle_df_cap=50).collect()
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (200, 201)
+    # jaccard is computed on ALL shingles (verification is uncapped)
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_minhash_band_bucket_cap(spark, skewed_docs):
+    """Degenerate band buckets are dropped; docs colliding through their
+    selective bands still pair up."""
+    pairs = dedup.minhash_candidates(skewed_docs, limit=5,
+                                     bucket_cap=60).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (200, 201) in got
+
+
+def test_ann_nplanes_and_bucket_cap(spark):
+    """n_planes scales the bucket space; the near-dup bucket cap drops
+    degenerate buckets instead of going quadratic."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    # 60 vectors in ONE direction cluster (same bucket) + 20 spread out
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(60):
+        v = base + rng.normal(scale=0.01, size=64)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(60, 80):
+        rows.append((i, [float(x) for x in rng.normal(size=64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    b8 = ann.lsh_buckets(df).collect()
+    b12 = ann.lsh_buckets(df, n_planes=12).collect()
+    assert max(r["bucket"] for r in b8) < 256
+    assert max(r["bucket"] for r in b12) >= 256  # wider signature space
+
+    # cluster bucket (>=60 members) is dropped by the cap → few/no pairs
+    capped = ann.embedding_neardup(df, limit=1000, bucket_cap=50).collect()
+    uncapped = ann.embedding_neardup(df, limit=10000,
+                                     bucket_cap=10**9).collect()
+    assert len(uncapped) >= 60 * 59 // 2
+    assert len(capped) < 60 * 59 // 2
+
+
+def test_ann_multiprobe_recall(spark):
+    """Multi-probe widens the probe set: results are a superset of the
+    single-bucket probe and recall vs brute force never decreases."""
+    import numpy as np
+    rng = np.random.default_rng(4)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {r["vec_id"] for r in ann.ann_bruteforce(df, 0, k=10).collect()}
+    single = {r["vec_id"] for r in ann.ann_lsh(df, 0, k=10).collect()}
+    probed = {r["vec_id"] for r in
+              ann.ann_lsh(df, 0, k=10, multiprobe=2).collect()}
+    assert len(probed & brute) >= len(single & brute)
+    assert len(probed) >= len(single)
