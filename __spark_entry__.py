@@ -46,6 +46,8 @@ from rucene_spark.query import (
     PhraseQuery,
     QueryStringQueryBuilder,
     RangeQuery,
+    SpanNearQuery,
+    SpanTermQuery,
     TermQuery,
 )
 from rucene_spark.search import IndexSearcher
@@ -286,6 +288,18 @@ def q_sloppy_phrase_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_span_near_topk(spark, sf_dir):
+    # ordered 2-clause span near (span_near.rs NearSpansOrdered): each
+    # later clause advances to its first span at-or-after the previous
+    # clause's end — pointers are monotone, so the walk is the stateless
+    # "min pb >= pa+1" form the SQL oracle uses; freq = f32 Σ 1/(1+width)
+    # over in-order matches (span.rs:489-519).
+    s = _index_for(spark, sf_dir)
+    q = SpanNearQuery([SpanTermQuery("text", PH_A), SpanTermQuery("text", PH_B)],
+                      slop=3, in_order=True)
+    return _topk_out(s.search(q, 10))
+
+
 def q_multifield_topk(spark, sf_dir):
     # per-field boosted expansion (query_string.rs:198-249): the term is
     # searched in BOTH fields, each scored against its own field stats
@@ -444,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_by_lang": q_collapse_by_lang,
         "rescore_topk": q_rescore_topk,
         "querystring_topk": q_querystring_topk,
+        "span_near_topk": q_span_near_topk,
         "multifield_topk": q_multifield_topk,
         "min_score_topk": q_min_score_topk,
         "blockmax_topk": q_blockmax_topk,
@@ -756,6 +771,66 @@ FROM grp LEFT JOIN hi USING (doc_id)
 ORDER BY grp.gscore + coalesce(hi.score, 0.0) DESC, grp.doc_id LIMIT 10
 """
     )
+
+    # ordered span near: per occurrence pa of A, the matching B span is
+    # min{pb >= pa+1}; width = pb-pa-1; freq = f32-fold of 1/(1+width)
+    # over matches in pa order (REAL casts emulate the f32 accumulation)
+    sqls["span_near_topk"] = f"""
+WITH tokpos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+capped AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, term, pos,
+           row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) AS rn
+    FROM tokpos) WHERE rn <= 10
+),
+pa AS (SELECT doc_id, pos AS p FROM capped WHERE term = '{PH_A}'),
+pb AS (SELECT doc_id, pos AS p FROM capped WHERE term = '{PH_B}'),
+matches AS (
+  SELECT pa.doc_id, pa.p AS pa,
+         (SELECT min(pb.p) FROM pb
+          WHERE pb.doc_id = pa.doc_id AND pb.p >= pa.p + 1) - pa.p - 1 AS w
+  FROM pa
+),
+freqs AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS REAL),
+             list(CAST(CAST(1.0 AS REAL) / CAST(w + 1 AS REAL) AS REAL)
+                  ORDER BY pa)),
+           (acc, v) -> CAST(acc + v AS REAL)) AS freq
+  FROM matches WHERE w IS NOT NULL AND w <= 3
+  GROUP BY doc_id
+),
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, least(count(*), 10) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM tf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT sum(idf) AS idf FROM (
+    SELECT ln(1 + (st.n - x.df + 0.5) / (x.df + 0.5)) AS idf
+    FROM (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{PH_A}', '{PH_B}') GROUP BY term) x, st)
+)
+SELECT freqs.doc_id,
+       round(dfs.idf * 2.2 * freqs.freq::DOUBLE
+             / (freqs.freq::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)),
+             6) AS score
+FROM freqs JOIN dl ON dl.doc_id = freqs.doc_id, st, dfs
+WHERE freqs.freq > 0
+ORDER BY dfs.idf * 2.2 * freqs.freq::DOUBLE
+         / (freqs.freq::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         DESC, freqs.doc_id
+LIMIT 10
+"""
 
     # two-field BM25: title = first 5 tokens of text, its own df/avgdl/dl;
     # title clause boost 2.0 folded as (idf * 2.0) * 2.2 * ... (engine op

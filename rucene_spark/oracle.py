@@ -205,6 +205,9 @@ class OracleSearcher:
             return self._boolean(q, boost, needs_scores)
         if isinstance(q, PhraseQuery):
             return self._phrase(q, boost)
+        from .query import SpanQuery
+        if isinstance(q, SpanQuery):
+            return self._span(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             subs = [self._eval(d, boost, needs_scores) for d in q.disjuncts]
             out: dict[tuple[int, int], float] = {}
@@ -282,6 +285,52 @@ class OracleSearcher:
                 score = np.float32(
                     weight * (K1 + np.float32(1.0)) * freq / (freq + norm)
                 )
+                out[d] = float(score)
+        return _Matches(out)
+
+    def _span(self, q, boost: np.float32) -> _Matches:
+        """Span queries via the shared kernels (spans.py) — same candidate
+        rule as the engine: >=1 term of every top-level near clause."""
+        from .query import SpanGapQuery, SpanNearQuery, span_spec, span_terms
+        from .spans import span_freq
+
+        cache = self._field_cache(q.field)
+        terms = span_terms(q)
+        uniq = sorted(set(terms))
+        ti_of = {t: i for i, t in enumerate(uniq)}
+        spec = span_spec(q, ti_of)
+
+        idf_total = np.float32(0.0)
+        for t in terms:
+            df = self.idx.term_stats.get((q.field, t), (0, 0))[0]
+            idf_total = np.float32(idf_total + idf32(df, self.idx.doc_count))
+        weight = np.float32(idf_total * boost)
+
+        if isinstance(q, SpanNearQuery):
+            groups = [span_terms(c) for c in q.clauses
+                      if not isinstance(c, SpanGapQuery)]
+        else:
+            groups = [terms]
+        group_docs = []
+        for g in groups:
+            docs: set = set()
+            for t in g:
+                docs |= set(self.idx.postings.get((q.field, t), {}))
+            group_docs.append(docs)
+        cand = set.intersection(*group_docs) if group_docs else set()
+
+        out = {}
+        for d in cand:
+            pos_map = {
+                ti_of[t]: self.idx.postings[(q.field, t)][d].positions
+                for t in uniq
+                if d in self.idx.postings.get((q.field, t), {})
+            }
+            freq = span_freq(spec, pos_map)
+            if freq > 0:
+                norm = cache[self.idx.norm_byte[(q.field, d)]]
+                score = np.float32(
+                    weight * (K1 + np.float32(1.0)) * freq / (freq + norm))
                 out[d] = float(score)
         return _Matches(out)
 

@@ -229,6 +229,127 @@ class FilterQuery(Query):
 
 
 # ---------------------------------------------------------------------------
+# span queries (src/core/search/query/spans/)
+# ---------------------------------------------------------------------------
+
+
+class SpanQuery(Query):
+    """Base for position-aware span queries (span.rs:64-70)."""
+
+
+@dataclass
+class SpanTermQuery(SpanQuery):
+    """Spans = the term's positions, each of width 0 (span_term.rs)."""
+
+    field: str
+    term: str
+
+    def __str__(self) -> str:
+        return f"SpanTermQuery(field: {self.field}, term: {self.term})"
+
+
+@dataclass
+class SpanNearQuery(SpanQuery):
+    """Sub-spans near each other (span_near.rs:94-215): ordered
+    (non-overlapping, in clause order, Σ gaps <= slop) or unordered
+    (max_end - min_start - Σ lengths <= slop). All clauses must share
+    one field (span_near.rs:102-118)."""
+
+    clauses: list[SpanQuery]
+    slop: int = 0
+    in_order: bool = True
+
+    def __post_init__(self):
+        if len(self.clauses) < 2:
+            raise ValueError("SpanNearQuery needs at least 2 clauses")
+        fields = {c.field for c in self.clauses if not isinstance(c, SpanGapQuery)}
+        if len(fields) != 1:
+            raise ValueError(f"span clauses must share one field: {fields}")
+        if any(isinstance(c, SpanGapQuery) for c in self.clauses) \
+                and not self.in_order:
+            raise ValueError("span gap requires an ordered near")
+        if isinstance(self.clauses[0], SpanGapQuery):
+            raise ValueError("span gap cannot be the first clause")
+
+    @property
+    def field(self) -> str:
+        for c in self.clauses:
+            if not isinstance(c, SpanGapQuery):
+                return c.field
+        raise ValueError("no non-gap clause")
+
+    def __str__(self) -> str:
+        cs = ", ".join(str(c) for c in self.clauses)
+        return (f"SpanNearQuery(clauses: [{cs}], slop: {self.slop},"
+                f" in_order: {self.in_order})")
+
+
+@dataclass
+class SpanOrQuery(SpanQuery):
+    """Positional union of sub-spans (span_or.rs)."""
+
+    clauses: list[SpanQuery]
+
+    def __post_init__(self):
+        if not self.clauses:
+            raise ValueError("SpanOrQuery needs at least 1 clause")
+        if len({c.field for c in self.clauses}) != 1:
+            raise ValueError("span clauses must share one field")
+
+    @property
+    def field(self) -> str:
+        return self.clauses[0].field
+
+    def __str__(self) -> str:
+        cs = ", ".join(str(c) for c in self.clauses)
+        return f"SpanOrQuery(clauses: [{cs}])"
+
+
+@dataclass
+class SpanGapQuery(SpanQuery):
+    """A virtual in-order clause consuming ``width`` positions
+    (span_near.rs:855-900)."""
+
+    field: str
+    width: int
+
+    def __str__(self) -> str:
+        return f"SpanGapQuery(field: {self.field}, width: {self.width})"
+
+
+def span_spec(q: SpanQuery, ti_of: dict) -> tuple:
+    """Compile a span query tree to the kernel spec (spans.py), mapping
+    terms through ``ti_of``."""
+    if isinstance(q, SpanTermQuery):
+        return ("term", ti_of[q.term])
+    if isinstance(q, SpanOrQuery):
+        return ("or", [span_spec(c, ti_of) for c in q.clauses])
+    if isinstance(q, SpanGapQuery):
+        return ("gap", q.width)
+    if isinstance(q, SpanNearQuery):
+        return ("near", [span_spec(c, ti_of) for c in q.clauses],
+                q.slop, q.in_order)
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def span_terms(q: SpanQuery) -> list[str]:
+    """Distinct terms of a span tree in depth-first order (the order the
+    combined idf weight is f32-accumulated in; SpanWeight term extraction)."""
+    if isinstance(q, SpanTermQuery):
+        return [q.term]
+    if isinstance(q, (SpanOrQuery, SpanNearQuery)):
+        seen: list[str] = []
+        for c in q.clauses:
+            for t in span_terms(c):
+                if t not in seen:
+                    seen.append(t)
+        return seen
+    if isinstance(q, SpanGapQuery):
+        return []
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+# ---------------------------------------------------------------------------
 # query-string parser (query_string.rs:28-250)
 # ---------------------------------------------------------------------------
 

@@ -613,6 +613,10 @@ class IndexSearcher:
         if isinstance(q, PhraseQuery):
             self._check_field(q.field)
             return [(q.field, t) for t in q.terms]
+        from .query import SpanQuery as _SpanQuery, span_terms
+        if isinstance(q, _SpanQuery):
+            self._check_field(q.field)
+            return [(q.field, t) for t in span_terms(q)]
         if isinstance(q, BooleanQuery):
             subs = q.musts + q.shoulds + q.filters + q.must_nots
         elif isinstance(q, (BoostQuery, ConstantScoreQuery, FilterQuery,
@@ -688,6 +692,9 @@ class IndexSearcher:
             return self._boolean_frame(q, boost, needs_scores, stats)
         if isinstance(q, PhraseQuery):
             return self._phrase_frame(q, boost, stats)
+        from .query import SpanQuery as _SpanQuery
+        if isinstance(q, _SpanQuery):
+            return self._span_frame(q, boost, stats)
         if isinstance(q, DisjunctionMaxQuery):
             all_terms = (
                 all(isinstance(d, TermQuery) for d in q.disjuncts)
@@ -872,27 +879,11 @@ class IndexSearcher:
         schema = self._score_schema + (", _ct string" if with_tag else "")
         return scan.mapInPandas(fn, schema)
 
-    def _phrase_frame(self, q: PhraseQuery, boost: np.float32, stats: dict) -> DataFrame:
-        """ONE postings scan for all phrase terms (``term IN (...)`` pushed
-        down), one decode stage, one shuffle to align per-doc position
-        lists, then the vectorized phrase kernels — the relational shape of
-        the two-phase ExactPhraseScorer (doc conjunction first, position
-        verify after; phrase_scorer.rs:122-294)."""
-        self._check_field(q.field)
-        if any((q.field, t) not in stats for t in q.terms):
-            return self.spark.createDataFrame([], self._score_schema)
-        idf_total = np.float32(0.0)
-        idf64_total = 0.0
-        for t in q.terms:
-            df_ = int(stats[(q.field, t)]["df"])
-            idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
-            idf64_total += float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
-        weight32 = np.float32(idf_total * boost)
-        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
-
-        uniq_terms = sorted(set(q.terms))
-        ti_of = {t: i for i, t in enumerate(uniq_terms)}
-        n_uniq = len(uniq_terms)
+    def _positions_rows(self, field: str, uniq_terms: list[str],
+                        ti_of: dict) -> DataFrame:
+        """ONE postings scan (+ positions) for a set of terms of one field,
+        decoded whole-batch → rows (seg, doc, ti, norm_byte, dl, positions).
+        Shared by the phrase and span paths."""
 
         def decode(batches):
             # whole-batch decode (no per-block Python loop); positions are
@@ -928,14 +919,37 @@ class IndexSearcher:
                 )
 
         scan = self._postings.filter(
-            (F.col("field") == q.field) & F.col("term").isin(uniq_terms)
+            (F.col("field") == field) & F.col("term").isin(uniq_terms)
         ).select("term", "seg", "num_docs", "docs_bin", "tfs_bin",
                  "norms_bin", "dls_bin", "pos_bin")
-        rows = scan.mapInPandas(
+        return scan.mapInPandas(
             decode,
             "seg int, doc long, ti int, norm_byte int, dl long,"
             " positions array<long>",
         )
+
+    def _phrase_frame(self, q: PhraseQuery, boost: np.float32, stats: dict) -> DataFrame:
+        """ONE postings scan for all phrase terms (``term IN (...)`` pushed
+        down), one decode stage, one shuffle to align per-doc position
+        lists, then the vectorized phrase kernels — the relational shape of
+        the two-phase ExactPhraseScorer (doc conjunction first, position
+        verify after; phrase_scorer.rs:122-294)."""
+        self._check_field(q.field)
+        if any((q.field, t) not in stats for t in q.terms):
+            return self.spark.createDataFrame([], self._score_schema)
+        idf_total = np.float32(0.0)
+        idf64_total = 0.0
+        for t in q.terms:
+            df_ = int(stats[(q.field, t)]["df"])
+            idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
+            idf64_total += float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        weight32 = np.float32(idf_total * boost)
+        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
+
+        uniq_terms = sorted(set(q.terms))
+        ti_of = {t: i for i, t in enumerate(uniq_terms)}
+        n_uniq = len(uniq_terms)
+        rows = self._positions_rows(q.field, uniq_terms, ti_of)
         aligned = (
             rows.groupBy("seg", "doc")
             .agg(
@@ -982,6 +996,105 @@ class IndexSearcher:
                     sc = (wk32 * tff) / (
                         tff + cache[sub["_nb"].to_numpy(dtype=np.int64)]
                     )
+                else:
+                    dl = sub["_dl"].to_numpy(dtype=np.float64)
+                    denom = fr + 1.2 * (0.25 + 0.75 * dl / avgdl64)
+                    sc = idf64_total * boost64 * 2.2 * fr / denom
+                yield pd.DataFrame(
+                    {
+                        "seg": sub["seg"].to_numpy(),
+                        "doc": sub["doc"].to_numpy(),
+                        "score": sc,
+                    }
+                )
+
+        return aligned.mapInPandas(verify, self._score_schema)
+
+    def _span_frame(self, q, boost: np.float32, stats: dict) -> DataFrame:
+        """Span queries as a generalized position join: one postings scan
+        for every term in the span tree, a clause-presence bitmask
+        prefilter (JVM-side), then the shared span kernels on the
+        candidate docs (spans.py; span.rs / span_near.rs / span_or.rs).
+        Scored like a phrase: weight = f32-summed idf of the tree's
+        distinct terms, freq = f32 Σ 1/(1+width) over emitted spans."""
+        from .query import SpanGapQuery, SpanNearQuery, span_spec, span_terms
+        from .spans import span_freq
+
+        field = q.field
+        self._check_field(field)
+        terms = span_terms(q)
+        uniq_terms = sorted(set(terms))
+        ti_of = {t: i for i, t in enumerate(uniq_terms)}
+        spec = span_spec(q, ti_of)
+
+        # combined idf weight, f32-accumulated in tree order (SpanWeight)
+        idf_total = np.float32(0.0)
+        idf64_total = 0.0
+        for t in terms:
+            row = stats.get((field, t))
+            df_ = int(row["df"]) if row else 0
+            idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
+            idf64_total += float(np.log(
+                1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        weight32 = np.float32(idf_total * boost)
+        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
+
+        # required-clause groups: a doc qualifies only with >=1 term of
+        # EVERY top-level near clause (nested trees fold into their
+        # top-level clause's group); or/term roots have a single group
+        if isinstance(q, SpanNearQuery):
+            groups = [span_terms(c) for c in q.clauses
+                      if not isinstance(c, SpanGapQuery)]
+        else:
+            groups = [terms]
+        full_mask = (1 << len(groups)) - 1
+        ti_mask: dict[int, int] = {}
+        for gi, g in enumerate(groups):
+            for t in g:
+                ti_mask[ti_of[t]] = ti_mask.get(ti_of[t], 0) | (1 << gi)
+        mask_map = F.create_map(*[
+            F.lit(x) for ti, mk in ti_mask.items() for x in (ti, mk)])
+
+        rows = self._positions_rows(field, uniq_terms, ti_of)
+        aligned = (
+            rows.withColumn(
+                "_m", F.coalesce(F.element_at(mask_map, F.col("ti")),
+                                 F.lit(0)))
+            .groupBy("seg", "doc")
+            .agg(
+                F.expr("bit_or(_m)").alias("_mk"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("ti", "positions"))).alias("_pm"),
+                F.first("norm_byte").alias("_nb"),
+                F.first("dl").alias("_dl"),
+            )
+            .filter(F.col("_mk") == full_mask)
+        )
+
+        cache = self.cache_f[field]
+        scoring = self.scoring
+        avgdl64 = self.avgdl64_f[field]
+        boost64 = float(boost)
+
+        def verify(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                freqs = np.zeros(len(pdf), dtype=np.float64)
+                pms = pdf["_pm"].tolist()
+                for r in range(len(pdf)):
+                    pos_map = {ti: np.asarray(pl, dtype=np.int64)
+                               for ti, pl in pms[r].items()}
+                    freqs[r] = float(span_freq(spec, pos_map))
+                mask = freqs > 0
+                if not mask.any():
+                    continue
+                sub = pdf[mask]
+                fr = freqs[mask]
+                if scoring == "lucene":
+                    tff = fr.astype(np.float32)
+                    sc = (wk32 * tff) / (
+                        tff + cache[sub["_nb"].to_numpy(dtype=np.int64)])
                 else:
                     dl = sub["_dl"].to_numpy(dtype=np.float64)
                     denom = fr + 1.2 * (0.25 + 0.75 * dl / avgdl64)

@@ -1,0 +1,155 @@
+"""Span queries: kernel semantics vs the reference's documented behavior
+(span_near.rs) and engine↔oracle float32 bit parity on the webtext corpus."""
+
+import numpy as np
+import pytest
+
+from rucene_spark.build import IndexWriter
+from rucene_spark.oracle import OracleSearcher, build_oracle_index
+from rucene_spark.query import (
+    SpanGapQuery,
+    SpanNearQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+)
+from rucene_spark.search import IndexSearcher
+from rucene_spark.spans import (
+    ordered_near_spans,
+    span_freq,
+    term_spans,
+    unordered_near_spans,
+)
+from rucene_spark.webtext import make_corpus, term_df_spectrum
+
+
+# ---------------------------------------------------------------------------
+# kernel semantics
+# ---------------------------------------------------------------------------
+
+
+def test_ordered_overlap_example_from_reference():
+    """span_near.rs:714-722: querying (t1 t2 t3) with slop >= 1 over
+    't1 t2 t1 t3 t2 t3' matches twice."""
+    c1 = term_spans([0, 2])
+    c2 = term_spans([1, 4])
+    c3 = term_spans([3, 5])
+    out = ordered_near_spans([c1, c2, c3], slop=1)
+    assert out == [(0, 4, 1), (2, 6, 1)]
+    assert ordered_near_spans([term_spans([0, 2]), term_spans([1, 4]),
+                               term_spans([3, 5])], slop=0) == []
+
+
+def test_ordered_requires_order():
+    # "b a": ordered (a, b) cannot match; unordered can
+    a, b = term_spans([1]), term_spans([0])
+    assert ordered_near_spans([a, b], slop=10) == []
+    out = unordered_near_spans([a, b], slop=0)
+    assert len(out) == 1
+    s, e, w = out[0]
+    assert (s, e) == (0, 2)
+
+
+def test_unordered_slop_math():
+    # doc: a . . b  → max_end(4) - min_start(0) - lengths(2) = 2
+    a, b = term_spans([0]), term_spans([3])
+    assert unordered_near_spans([a, b], slop=1) == []
+    out = unordered_near_spans([a, b], slop=2)
+    assert out == [(0, 4, 3)]  # width = start(max_end_cell) - min_start
+
+
+def test_gap_consumes_positions():
+    # near(a, gap(1), b) slop 0 over "a x b"
+    a, b = term_spans([0]), term_spans([2])
+    out = ordered_near_spans([a, ("gap", 1), b], slop=0)
+    assert out == [(0, 3, 0)]
+    # without the gap the same pattern needs slop 1
+    assert ordered_near_spans([a, b], slop=0) == []
+    assert ordered_near_spans([a, b], slop=1) == [(0, 3, 1)]
+
+
+def test_span_freq_f32_accumulation():
+    pos_map = {0: np.array([0, 10]), 1: np.array([2, 11])}
+    spec = ("near", [("term", 0), ("term", 1)], 2, True)
+    f = span_freq(spec, pos_map)
+    want = np.float32(np.float32(1.0 / 2.0) + np.float32(1.0 / 1.0))
+    assert np.float32(f).view(np.int32) == want.view(np.int32)
+
+
+def test_or_union_and_nested_near():
+    pos_map = {0: [0], 1: [5], 2: [6]}
+    spec = ("near",
+            [("or", [("term", 0), ("term", 1)]), ("term", 2)], 0, True)
+    # or-spans at 0 and 5; term 2 at 6 → only the 5-branch matches
+    out_freq = span_freq(spec, {k: np.asarray(v) for k, v in pos_map.items()})
+    assert float(out_freq) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# engine ↔ oracle parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(300, seed=5)
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("span_idx"))
+    IndexWriter(spark, d, n_segments=3, key_col="url").build(
+        spark.createDataFrame(corpus.drop(columns=["html"])))
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    idx = build_oracle_index(corpus, n_segments=3)
+    return OracleSearcher(idx)
+
+
+def test_span_queries_rank_identical(spark, corpus, built, oracle):
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    hi, hi2 = plain[0], plain[1]
+    mid = plain[len(plain) // 3]
+    s = IndexSearcher(spark, built)
+    T = SpanTermQuery
+    queries = [
+        T("text", hi),
+        SpanNearQuery([T("text", hi), T("text", mid)], slop=4, in_order=True),
+        SpanNearQuery([T("text", hi), T("text", mid)], slop=4, in_order=False),
+        SpanNearQuery([T("text", mid), T("text", hi)], slop=8, in_order=True),
+        SpanNearQuery([T("text", hi), SpanGapQuery("text", 1), T("text", hi2)],
+                      slop=3, in_order=True),
+        SpanOrQuery([T("text", hi), T("text", mid)]),
+        SpanNearQuery(
+            [SpanOrQuery([T("text", hi), T("text", hi2)]), T("text", mid)],
+            slop=5, in_order=False),
+        # nested near as a clause
+        SpanNearQuery(
+            [SpanNearQuery([T("text", hi), T("text", hi2)], slop=2,
+                           in_order=False), T("text", mid)],
+            slop=6, in_order=False),
+    ]
+    for q in queries:
+        eng = [(r["url"], np.float32(r["score"]).view(np.int32).item())
+               for r in s.search(q, 10).collect()]
+        orc = [(u, np.float32(sc).view(np.int32).item())
+               for (u, sc, _) in oracle.search(q, 10)]
+        assert eng == orc, (str(q), eng[:3], orc[:3])
+    # at least one query must actually produce matches
+    q = SpanNearQuery([T("text", hi), T("text", mid)], slop=50, in_order=False)
+    assert s.search(q, 10).collect()
+
+
+def test_span_count_and_unknown_field(spark, built, corpus, oracle):
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    hi, mid = plain[0], plain[len(plain) // 3]
+    s = IndexSearcher(spark, built)
+    q = SpanNearQuery([SpanTermQuery("text", hi), SpanTermQuery("text", mid)],
+                      slop=20, in_order=False)
+    assert s.count(q) == oracle.count(q)
+    with pytest.raises(ValueError, match="unknown field"):
+        s.search(SpanTermQuery("body", hi), 5)
