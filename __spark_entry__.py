@@ -252,10 +252,13 @@ def q_querystring_topk(spark, sf_dir):
 
 
 def q_highlight_topk(spark, sf_dir):
-    from rucene_spark.highlight import highlight_term
+    # multi-term highlighting (FVH semantics): best-scoring 7-token
+    # window over BOTH query terms, every matched token wrapped
+    from rucene_spark.highlight import highlight_query
 
     s = _index_for(spark, sf_dir)
-    out = highlight_term(s, _docs(spark, sf_dir), T_HI, 10)
+    q = QueryStringQueryBuilder(f"{T_HI} {T_MID}", [("text", 1.0)]).build()
+    out = highlight_query(s, _docs(spark, sf_dir), q, 10)
     return out.select("doc_id", "score", "snippet")
 
 
@@ -913,15 +916,17 @@ LIMIT 10
 """
     )
 
-    from rucene_spark.highlight import highlight_term_sql
+    from rucene_spark.highlight import highlight_query_sql
 
     sqls["highlight_topk"] = (
         _BM25_CTE
         + f""", hits AS (
-  SELECT doc_id, score FROM sc WHERE term = '{T_HI}'
-  ORDER BY score DESC, doc_id LIMIT 10)
+  SELECT doc_id, round(sum(score), 6) AS score
+  FROM sc WHERE term IN ('{T_HI}', '{T_MID}')
+  GROUP BY doc_id
+  ORDER BY sum(score) DESC, doc_id LIMIT 10)
 """
-        + highlight_term_sql(T_HI)
+        + highlight_query_sql(sorted([T_HI, T_MID]))
     )
 
     sqls["exists_count"] = (

@@ -56,6 +56,87 @@ def highlight_term(
     )
 
 
+def highlight_query(
+    searcher: IndexSearcher,
+    docs_df: DataFrame,
+    query,
+    k: int = 10,
+    window_tokens: int = 7,
+    pre: str = "<b>",
+    post: str = "</b>",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-term highlighting: top-k docs for ``query`` with the
+    BEST-scoring fragment window and every query term wrapped — the
+    FieldPhraseList/frag-builder semantics of the reference's FVH
+    (highlight/mod.rs:89-1200) re-expressed as a deterministic,
+    SQL-mirrorable rule: among all ``window_tokens``-wide token windows,
+    pick the one containing the most query-term occurrences (earliest
+    window wins ties), then wrap every matched token. Entirely JVM
+    column expressions over the k hit rows."""
+    key = searcher.key_col
+    terms = sorted({t for _, t in searcher._collect_terms(query)})
+    hits = searcher.search(query, k).select(key, "seg", "doc", "score")
+    joined = hits.join(docs_df.select(key, text_col), key)
+
+    toks = F.split(F.col(text_col), " ")
+    tset = F.array(*[F.lit(t) for t in terms])
+    w = window_tokens
+    nstarts = F.greatest(F.size(toks) - w + 1, F.lit(1))
+    scores = F.transform(
+        F.sequence(F.lit(1), nstarts),
+        lambda s: F.size(F.filter(F.slice(toks, s, w),
+                                  lambda t: F.array_contains(tset, t))),
+    )
+    best = F.array_position(scores, F.array_max(scores))
+    frag = F.slice(toks, best.cast("int"), w)
+    wrapped = F.transform(
+        frag,
+        lambda t: F.when(F.array_contains(tset, t),
+                         F.concat(F.lit(pre), t, F.lit(post))).otherwise(t),
+    )
+    return (
+        joined.select(
+            key, "seg", "doc",
+            F.round(F.col("score"), 6).alias("score"),
+            F.concat_ws(" ", wrapped).alias("snippet"),
+        )
+        .orderBy(F.desc("score"), "seg", "doc")
+    )
+
+
+def highlight_query_sql(terms: list[str], k: int = 10,
+                        window_tokens: int = 7,
+                        pre: str = "<b>", post: str = "</b>") -> str:
+    """DuckDB mirror of :func:`highlight_query`'s fragment rule (caller
+    prepends a CTE named ``hits`` with columns (doc_id, score))."""
+    w = window_tokens
+    tlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""
+SELECT h.doc_id, round(h.score, 6) AS score,
+       array_to_string(list_transform(
+         list_slice(parts, best, best + {w} - 1),
+         t -> CASE WHEN list_contains({tlist}, t)
+                   THEN concat('{pre}', t, '{post}') ELSE t END), ' ')
+         AS snippet
+FROM (
+  SELECT h.doc_id, h.score, parts,
+         list_position(scores, list_max(scores)) AS best
+  FROM (
+    SELECT h.doc_id, h.score, parts,
+           [ len(list_filter(list_slice(parts, s, s + {w} - 1),
+                             t -> list_contains({tlist}, t)))
+             for s in range(1, greatest(len(parts) - {w} + 1, 1) + 1) ]
+             AS scores
+    FROM hits h JOIN (SELECT doc_id, string_split(text, ' ') AS parts
+                      FROM documents) d ON d.doc_id = h.doc_id
+  ) h
+) h
+ORDER BY h.score DESC, h.doc_id
+LIMIT {k}
+"""
+
+
 def highlight_term_sql(term: str, k: int = 10, window: int = 3,
                        pre: str = "<b>", post: str = "</b>") -> str:
     """DuckDB mirror over the documents view: same fragment spec on top of

@@ -63,3 +63,46 @@ def test_highlight_wraps_first_match_window(spark, setup):
         expect = [f"<b>{t}</b>" if t == hi else t
                   for t in src_toks[lo:i + 3]]
         assert toks == expect
+
+
+def test_highlight_query_multi_term_best_window(spark, setup):
+    """Multi-term highlighting picks the window with the MOST query-term
+    occurrences and wraps every matched token (FVH fragment semantics)."""
+    from rucene_spark.highlight import highlight_query
+    from rucene_spark.query import BooleanQuery
+
+    s, docs, hi = setup
+    # second term from the same corpus
+    from rucene_spark.webtext import term_df_spectrum
+    import pandas as pd
+    corpus = docs.toPandas()
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    mid = plain[len(plain) // 3]
+    q = BooleanQuery.build([], [__import__("rucene_spark.query",
+                                           fromlist=["TermQuery"])
+                               .TermQuery("text", hi),
+                               __import__("rucene_spark.query",
+                                          fromlist=["TermQuery"])
+                               .TermQuery("text", mid)], [], [])
+    w = 7
+    rows = highlight_query(s, docs, q, k=10, window_tokens=w).collect()
+    assert rows
+    text_of = {r["url"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        snippet = r["snippet"]
+        toks = snippet.split(" ")
+        assert len(toks) <= w
+        # every hi/mid token in the window is wrapped; others untouched
+        assert (f"<b>{hi}</b>" in snippet) or (f"<b>{mid}</b>" in snippet)
+        assert f" {hi} " not in f" {snippet} "
+        assert f" {mid} " not in f" {snippet} "
+        # replay the window rule in python: the chosen window's match
+        # count equals the max over all windows
+        src = text_of[r["url"]].split(" ")
+        tset = {hi, mid}
+        nstarts = max(len(src) - w + 1, 1)
+        scores = [sum(1 for t in src[s0:s0 + w] if t in tset)
+                  for s0 in range(nstarts)]
+        got_count = sum(1 for t in toks if t.startswith("<b>"))
+        assert got_count == max(scores)
