@@ -312,6 +312,18 @@ def q_multifield_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_per_field_sim_topk(spark, sf_dir):
+    # SimilarityProducer (searcher.rs:148-154): a different BM25
+    # parameterization per field — title scored with (k1=0.9, b=0.4).
+    # Constants enter SQL as (0.9 + 1.0) / (1.0 - 0.4) expressions, NOT
+    # folded literals, to keep f64 bits identical to the engine.
+    _index_for(spark, sf_dir)
+    s = IndexSearcher(spark, _INDEX_CACHE[sf_dir.rstrip("/")],
+                      scoring="precise", similarity={"title": (0.9, 0.4)})
+    q = QueryStringQueryBuilder(T_MID, [("title", 1.0)]).build()
+    return _topk_out(s.search(q, 10))
+
+
 def q_min_score_topk(spark, sf_dir):
     # MinScoreScorer (min_scorer.rs:21-79): keep docs scoring strictly
     # above a cutoff. The cutoff is the 5th-best score of the same term
@@ -463,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_topk": q_querystring_topk,
         "span_near_topk": q_span_near_topk,
         "multifield_topk": q_multifield_topk,
+        "per_field_sim_topk": q_per_field_sim_topk,
         "min_score_topk": q_min_score_topk,
         "blockmax_topk": q_blockmax_topk,
         "boosting_topk": q_boosting_topk,
@@ -880,6 +893,33 @@ SELECT doc_id, round(sum(score), 6) AS score
 FROM (SELECT * FROM sc_text UNION ALL SELECT * FROM sc_title)
 GROUP BY doc_id
 ORDER BY sum(score) DESC, doc_id LIMIT 10
+"""
+
+    # per-field similarity: title field scored with k1=0.9, b=0.4
+    sqls["per_field_sim_topk"] = f"""
+WITH ttok AS (SELECT doc_id, unnest(list_slice(string_split(text,' '), 1, 5)) AS term
+              FROM documents),
+ttf AS (SELECT doc_id, term, least(count(*), 10) AS tf FROM ttok GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+tst AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM ttf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+)
+SELECT ttf.doc_id,
+       round(ln(1 + (tst.n - df.df + 0.5) / (df.df + 0.5)) * (0.9 + 1.0)
+             * ttf.tf / (ttf.tf + 0.9 * ((1.0 - 0.4)
+                                         + 0.4 * tdl.dl / tst.avgdl)), 6)
+         AS score
+FROM ttf
+JOIN (SELECT term, count(*) AS df FROM ttf GROUP BY term) df USING (term)
+JOIN tdl ON tdl.doc_id = ttf.doc_id, tst
+WHERE ttf.term = '{T_MID}'
+ORDER BY ln(1 + (tst.n - df.df + 0.5) / (df.df + 0.5)) * (0.9 + 1.0)
+         * ttf.tf / (ttf.tf + 0.9 * ((1.0 - 0.4)
+                                     + 0.4 * tdl.dl / tst.avgdl))
+         DESC, ttf.doc_id
+LIMIT 10
 """
 
     sqls["min_score_topk"] = (

@@ -483,6 +483,23 @@ class IndexWriter:
             if f.name not in reserved and f.dataType.typeName() != "binary"
         ]
 
+    def update_documents(self, df: DataFrame,
+                         n_segments: int | None = None) -> dict:
+        """Delete-then-add by key (IndexWriter::update_document,
+        index_writer.rs:430-470): buffer tombstones for every incoming key
+        at the CURRENT generation, then append the new docs as delta
+        segments at the next generation — the tombstones can never hide
+        the replacements (gen scoping), and a later merge folds the old
+        copies out physically."""
+        gen = int(load_manifest(self.index_dir).get("gen_counter", 0))
+        tomb_dir = os.path.join(self.index_dir, "tombstones")
+        os.makedirs(tomb_dir, exist_ok=True)
+        (df.select(F.col(self.key_col).cast("string").alias("key"),
+                   F.lit(gen).cast("long").alias("gen"))
+         .distinct()
+         .write.mode("append").parquet(tomb_dir))
+        return self.add_documents(df, n_segments=n_segments)
+
     def build(self, df: DataFrame) -> dict:
         os.makedirs(self.index_dir, exist_ok=True)
         extra = self._extra_cols(df)

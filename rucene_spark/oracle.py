@@ -155,15 +155,26 @@ class _Matches:
 
 
 class OracleSearcher:
-    def __init__(self, index: OracleIndex, field: str = "text"):
+    def __init__(self, index: OracleIndex, field: str = "text",
+                 similarity: dict | None = None):
+        """``similarity``: field → (k1, b), mirroring IndexSearcher's
+        SimilarityProducer surface; defaults (1.2, 0.75)."""
         self.idx = index
         self.field = field
+        sim = dict(similarity or {})
+        self.sim_f = {f: tuple(map(float, sim.get(f, (1.2, 0.75))))
+                      for f in (index.fields or [field])}
         self.cache_f = {
-            f: norm_cache32(avgdl32(index.sum_ttf_f.get(f, 0), index.doc_count))
+            f: norm_cache32(
+                avgdl32(index.sum_ttf_f.get(f, 0), index.doc_count),
+                k1=self.sim_f[f][0], b=self.sim_f[f][1])
             for f in (index.fields or [field])
         }
         self.avgdl = avgdl32(index.sum_ttf, index.doc_count)
         self.cache = self.cache_f.get(field, norm_cache32(self.avgdl))
+
+    def _k1f(self, field: str) -> np.float32:
+        return np.float32(self.sim_f.get(field, (1.2, 0.75))[0])
 
     def _field_cache(self, field: str) -> np.ndarray:
         if field not in self.cache_f:
@@ -256,7 +267,9 @@ class OracleSearcher:
         for d, p in plists.items():
             tf = np.float32(p.tf)
             norm = cache[self.idx.norm_byte[(q.field, d)]]
-            score = np.float32(weight * (K1 + np.float32(1.0)) * tf / (tf + norm))
+            score = np.float32(
+                weight * (self._k1f(q.field) + np.float32(1.0)) * tf
+                / (tf + norm))
             out[d] = float(score)
         return _Matches(out)
 
@@ -283,7 +296,8 @@ class OracleSearcher:
             if freq > 0:
                 norm = cache[self.idx.norm_byte[(q.field, d)]]
                 score = np.float32(
-                    weight * (K1 + np.float32(1.0)) * freq / (freq + norm)
+                    weight * (self._k1f(q.field) + np.float32(1.0)) * freq
+                    / (freq + norm)
                 )
                 out[d] = float(score)
         return _Matches(out)
@@ -330,7 +344,8 @@ class OracleSearcher:
             if freq > 0:
                 norm = cache[self.idx.norm_byte[(q.field, d)]]
                 score = np.float32(
-                    weight * (K1 + np.float32(1.0)) * freq / (freq + norm))
+                    weight * (self._k1f(q.field) + np.float32(1.0)) * freq
+                    / (freq + norm))
                 out[d] = float(score)
         return _Matches(out)
 

@@ -85,16 +85,29 @@ from .query import (
 K1 = np.float32(1.2)
 B = np.float32(0.75)
 
+
+def _kp1_64(k1: float) -> float:
+    """(k1 + 1) for the float64 "precise" path. The default returns the
+    LITERAL 2.2 (not 1.2 + 1.0, which differs in the last f64 bit) so the
+    SQL oracles' 2.2 constant stays bit-identical."""
+    return 2.2 if k1 == 1.2 else k1 + 1.0
+
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
 _UB_SLACK = 1e-5  # relative slack on the BMW θ filter (f32 vs f64 rounding)
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str, scoring: str = "lucene"):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 scoring: str = "lucene",
+                 similarity: dict[str, tuple[float, float]] | None = None):
+        """``similarity`` maps field → (k1, b) — the SimilarityProducer
+        extension point (searcher.rs:148-154: a different Similarity per
+        field); unlisted fields use the BM25 defaults (1.2, 0.75)."""
         self.spark = spark
         self.index_dir = index_dir
         self.scoring = scoring
+        self.similarity = dict(similarity or {})
         m = load_manifest(index_dir)
         self.manifest = m
         self.key_col = m["key_col"]
@@ -109,10 +122,13 @@ class IndexSearcher:
         self.avgdl_f: dict[str, np.float32] = {}
         self.cache_f: dict[str, np.ndarray] = {}
         self.avgdl64_f: dict[str, float] = {}
+        self.sim_f: dict[str, tuple[float, float]] = {}
         for f_ in self.fields:
+            k1, b = self.similarity.get(f_, (1.2, 0.75))
+            self.sim_f[f_] = (float(k1), float(b))
             sttf = int(fstats.get(f_, {}).get("sum_ttf", 0))
             self.avgdl_f[f_] = avgdl32(sttf, self.doc_count)
-            self.cache_f[f_] = norm_cache32(self.avgdl_f[f_])
+            self.cache_f[f_] = norm_cache32(self.avgdl_f[f_], k1=k1, b=b)
             self.avgdl64_f[f_] = (sttf / self.doc_count) if sttf > 0 else 1.0
         self.avgdl = self.avgdl_f[self.default_field]
         self.cache = self.cache_f[self.default_field]
@@ -131,19 +147,32 @@ class IndexSearcher:
         # sequence-number rule), so delete-then-reindex never hides the
         # re-added doc.
         self._deleted = None
+        self._bcast_deleted = True
         tomb_dir = os.path.join(index_dir, "tombstones")
         if os.path.isdir(tomb_dir) and any(
                 f.endswith(".parquet") for f in os.listdir(tomb_dir)):
+            # broadcast only while the tombstone set is small; above the
+            # cap fall back to a shuffle anti-join (tombstones accumulate
+            # unboundedly between merges — a broadcast would not)
+            import pyarrow.parquet as _pq
+            n_tomb = 0
+            for f in os.listdir(tomb_dir):
+                if f.endswith(".parquet"):
+                    n_tomb += _pq.ParquetFile(
+                        os.path.join(tomb_dir, f)).metadata.num_rows
+            self._bcast_deleted = n_tomb <= 500_000
             tomb = spark.read.parquet(tomb_dir)
             if "gen" not in tomb.columns:
                 tomb = tomb.withColumn("gen", F.lit(1 << 62))
             tomb = tomb.select(F.col("key").alias("_tk"),
                                F.col("gen").alias("_tg")).distinct()
+            if self._bcast_deleted:
+                tomb = F.broadcast(tomb)
             gen_map = F.create_map(*[
                 F.lit(x) for s in m["segments"]
                 for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
             self._deleted = self._docmeta.join(
-                F.broadcast(tomb),
+                tomb,
                 (F.col(self.key_col).cast("string") == F.col("_tk"))
                 & (F.element_at(gen_map, F.col("seg").cast("long"))
                    <= F.col("_tg")),
@@ -164,10 +193,14 @@ class IndexSearcher:
     # ------------------------------------------------------------------
 
     def _live(self, frame: DataFrame) -> DataFrame:
-        """Skip deleted docs (BulkScorer's live_docs check, bulk_scorer.rs)."""
+        """Skip deleted docs (BulkScorer's live_docs check, bulk_scorer.rs).
+        Broadcast only below the tombstone cap; large delete sets anti-join
+        by shuffle instead of flooding every executor."""
         if self._deleted is None:
             return frame
-        return frame.join(F.broadcast(self._deleted), ["seg", "doc"], "left_anti")
+        deleted = (F.broadcast(self._deleted) if self._bcast_deleted
+                   else self._deleted)
+        return frame.join(deleted, ["seg", "doc"], "left_anti")
 
     def search(self, query: Query, k: int = 10) -> DataFrame:
         """Top-k by (score desc, seg asc, doc asc) joined back to doc keys."""
@@ -192,12 +225,23 @@ class IndexSearcher:
         return self._live(
             self._frame(query, np.float32(1.0), needs_scores=False)).count()
 
-    def search_sorted(self, query: Query, sort_cols, k: int = 10) -> DataFrame:
+    def search_sorted(self, query: Query, sort_cols, k: int = 10,
+                      early_terminate: bool = False) -> DataFrame:
         """Top-k by doc-values fields (sort_field.rs:28-110 analogue).
 
-        ``sort_cols`` are Column expressions over docmeta columns."""
+        ``sort_cols`` are Column expressions over docmeta columns.
+        ``early_terminate`` is the EarlyTerminatingSortingCollector
+        analogue (early_terminating.rs:24-92): each segment contributes at
+        most its own top-k before the global merge — unlike the
+        reference's (which requires index sort == query sort), the
+        per-segment cut is always rank-safe here because the global top-k
+        is a superset-free merge of per-segment top-ks."""
         frame = self._live(self._frame(query, np.float32(1.0), needs_scores=False))
         joined = self._docmeta.join(frame.select("seg", "doc"), ["seg", "doc"])
+        if early_terminate:
+            w = Window.partitionBy("seg").orderBy(*sort_cols, "doc")
+            joined = (joined.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= k).drop("_rn"))
         return joined.orderBy(*sort_cols, "seg", "doc").limit(k)
 
     def collapse(self, query: Query, group_col: str, k: int = 10) -> DataFrame:
@@ -277,6 +321,8 @@ class IndexSearcher:
         self._check_field(field)
         cache = self.cache_f[field]
         avgdl64 = self.avgdl64_f[field]
+        k1_, b_ = self.sim_f[field]
+        kp1 = _kp1_64(k1_)
         stats = self._stats_for([(field, t) for t in terms])
         lucene = self.scoring == "lucene"
 
@@ -292,8 +338,9 @@ class IndexSearcher:
                 ub = float(wk32) * mtf / (
                     mtf + float(cache[int(row["max_norm_byte"])]))
             else:
-                denom = mtf + 1.2 * (0.25 + 0.75 * float(row["min_dl"]) / avgdl64)
-                ub = idf_64 * b64 * 2.2 * mtf / denom
+                denom = mtf + k1_ * (
+                    (1.0 - b_) + b_ * float(row["min_dl"]) / avgdl64)
+                ub = idf_64 * b64 * kp1 * mtf / denom
             infos.append((t, float(np.float32(b)), ub))
         if not infos:
             return self._docmeta.join(
@@ -328,14 +375,14 @@ class IndexSearcher:
             cache_arr = F.array(*[F.lit(float(c)) for c in cache])
             denom_col = F.element_at(cache_arr, F.col("max_norm_byte") + 1)
         else:
-            denom_col = F.lit(1.2) * (
-                F.lit(0.25) + F.lit(0.75) * F.col("min_dl") / F.lit(avgdl64))
+            denom_col = F.lit(k1_) * (
+                F.lit(1.0 - b_) + F.lit(b_) * F.col("min_dl") / F.lit(avgdl64))
 
         def block_keep(sub_infos):
             keep = F.lit(False)
             for t, b, ub in sub_infos:
                 wk32, idf_64, b64 = self._term_weights(field, t, b, stats)
-                scale = float(wk32) if lucene else idf_64 * b64 * 2.2
+                scale = float(wk32) if lucene else idf_64 * b64 * kp1
                 block_ub = (F.lit(scale) * F.col("max_tf")
                             / (F.col("max_tf") + denom_col))
                 keep = keep | ((F.col("term") == t)
@@ -539,14 +586,16 @@ class IndexSearcher:
                     "details": []}
         freq, nb = hit
         cache = self.cache_f[q.field]
+        k1_, b_ = self.sim_f[q.field]
+        k1f = np.float32(k1_)
         total_boost = np.float32(boost * np.float32(q.boost))
         idf = idf32(df_, self.doc_count)
         field_len = float(NORM_TABLE[nb])
         tf_norm = np.float32(
-            (np.float32(freq) * (K1 + np.float32(1.0)))
+            (np.float32(freq) * (k1f + np.float32(1.0)))
             / (np.float32(freq) + cache[nb]))
         value = float(np.float32(np.float32(idf * total_boost)
-                                 * (K1 + np.float32(1.0)) * np.float32(freq)
+                                 * (k1f + np.float32(1.0)) * np.float32(freq)
                                  / (np.float32(freq) + cache[nb])))
         return {
             "match": True,
@@ -567,8 +616,8 @@ class IndexSearcher:
                                 " avgFieldLength)) from:",
                  "details": [
                      {"value": float(freq), "description": "termFreq", "details": []},
-                     {"value": 1.2, "description": "parameter k1", "details": []},
-                     {"value": 0.75, "description": "parameter b", "details": []},
+                     {"value": float(k1_), "description": "parameter k1", "details": []},
+                     {"value": float(b_), "description": "parameter b", "details": []},
                      {"value": float(self.avgdl_f[q.field]),
                       "description": "avgFieldLength", "details": []},
                      {"value": field_len, "description": "fieldLength",
@@ -747,11 +796,13 @@ class IndexSearcher:
             [(q.field, q.term, "", total_boost, True)], stats, with_tag=False)
 
     def _term_weights(self, field: str, term: str, boost: float, stats: dict):
-        """Per-(field, term) scoring constants: (wk32, idf64, boost64)."""
+        """Per-(field, term) scoring constants: (wk32, idf64, boost64).
+        ``wk32`` folds the field's k1 (per-field similarity)."""
         row = stats.get((field, term))
         df_ = int(row["df"]) if row else 0
+        k1f = np.float32(self.sim_f[field][0])
         w32 = np.float32(idf32(max(df_, 1), self.doc_count) * np.float32(boost))
-        wk32 = np.float32(w32 * (K1 + np.float32(1.0)))
+        wk32 = np.float32(w32 * (k1f + np.float32(1.0)))
         idf_64 = float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
         return wk32, idf_64, float(boost)
 
@@ -778,10 +829,15 @@ class IndexSearcher:
         avgdl64_f = self.avgdl64_f
         ftype = np.float32 if scoring == "lucene" else np.float64
         # per-clause scalar coefficients, precomputed with the exact scalar
-        # op order of the row-at-a-time path (bit parity)
-        coef64 = {k: [(tag, scored, np.float32(wk32), (idf_64 * b64) * 2.2)
-                      for tag, scored, wk32, idf_64, b64 in specs_]
-                  for k, specs_ in by_key.items()}
+        # op order of the row-at-a-time path (bit parity); the field's
+        # (k1, b) ride along for the f64 denominator
+        coef64 = {
+            k: [(tag, scored, np.float32(wk32),
+                 (idf_64 * b64) * _kp1_64(self.sim_f[k[0]][0]),
+                 self.sim_f[k[0]][0], self.sim_f[k[0]][1])
+                for tag, scored, wk32, idf_64, b64 in specs_]
+            for k, specs_ in by_key.items()
+        }
 
         def fn(batches):
             # whole-batch decode: every block of the Arrow batch is
@@ -805,14 +861,18 @@ class IndexSearcher:
                 # expanded clause table: one entry per (block row, clause)
                 exp_row, exp_tag, exp_scored, exp_wk32, exp_coef, exp_fld = \
                     [], [], [], [], [], []
+                exp_k1, exp_b = [], []
                 for i in range(n_rows):
-                    for tag, scored, wk32, c64 in coef64[(flds[i], trms[i])]:
+                    for tag, scored, wk32, c64, k1_, b_ in \
+                            coef64[(flds[i], trms[i])]:
                         exp_row.append(i)
                         exp_tag.append(tag)
                         exp_scored.append(scored)
                         exp_wk32.append(wk32)
                         exp_coef.append(c64)
                         exp_fld.append(flds[i])
+                        exp_k1.append(k1_)
+                        exp_b.append(b_)
                 exp_row = np.asarray(exp_row, dtype=np.int64)
                 identity = exp_row.size == n_rows and (
                     exp_row == np.arange(n_rows)).all()
@@ -848,8 +908,12 @@ class IndexSearcher:
                         lens_e)
                     coef_v = np.repeat(
                         np.asarray(exp_coef, dtype=np.float64), lens_e)
+                    k1_v = np.repeat(np.asarray(exp_k1, dtype=np.float64),
+                                     lens_e)
+                    b_v = np.repeat(np.asarray(exp_b, dtype=np.float64),
+                                    lens_e)
                     tff = tf_out.astype(np.float64)
-                    denom = tff + 1.2 * (0.25 + 0.75 * dls / avg_v)
+                    denom = tff + k1_v * ((1.0 - b_v) + b_v * dls / avg_v)
                     sc = coef_v * tff / denom
                 sc = sc.astype(ftype)
                 if not scored_e.all():
@@ -943,8 +1007,9 @@ class IndexSearcher:
             df_ = int(stats[(q.field, t)]["df"])
             idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
             idf64_total += float(np.log(1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        k1_, b_ = self.sim_f[q.field]
         weight32 = np.float32(idf_total * boost)
-        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
+        wk32 = np.float32(weight32 * (np.float32(k1_) + np.float32(1.0)))
 
         uniq_terms = sorted(set(q.terms))
         ti_of = {t: i for i, t in enumerate(uniq_terms)}
@@ -970,6 +1035,7 @@ class IndexSearcher:
         scoring = self.scoring
         avgdl64 = self.avgdl64_f[q.field]
         boost64 = float(boost)
+        coef64 = (idf64_total * boost64) * _kp1_64(k1_)
 
         def verify(batches):
             for pdf in batches:
@@ -998,8 +1064,8 @@ class IndexSearcher:
                     )
                 else:
                     dl = sub["_dl"].to_numpy(dtype=np.float64)
-                    denom = fr + 1.2 * (0.25 + 0.75 * dl / avgdl64)
-                    sc = idf64_total * boost64 * 2.2 * fr / denom
+                    denom = fr + k1_ * ((1.0 - b_) + b_ * dl / avgdl64)
+                    sc = coef64 * fr / denom
                 yield pd.DataFrame(
                     {
                         "seg": sub["seg"].to_numpy(),
@@ -1036,8 +1102,9 @@ class IndexSearcher:
             idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
             idf64_total += float(np.log(
                 1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        k1_, b_ = self.sim_f[field]
         weight32 = np.float32(idf_total * boost)
-        wk32 = np.float32(weight32 * (K1 + np.float32(1.0)))
+        wk32 = np.float32(weight32 * (np.float32(k1_) + np.float32(1.0)))
 
         # required-clause groups: a doc qualifies only with >=1 term of
         # EVERY top-level near clause (nested trees fold into their
@@ -1075,6 +1142,7 @@ class IndexSearcher:
         scoring = self.scoring
         avgdl64 = self.avgdl64_f[field]
         boost64 = float(boost)
+        coef64 = (idf64_total * boost64) * _kp1_64(k1_)
 
         def verify(batches):
             for pdf in batches:
@@ -1097,8 +1165,8 @@ class IndexSearcher:
                         tff + cache[sub["_nb"].to_numpy(dtype=np.int64)])
                 else:
                     dl = sub["_dl"].to_numpy(dtype=np.float64)
-                    denom = fr + 1.2 * (0.25 + 0.75 * dl / avgdl64)
-                    sc = idf64_total * boost64 * 2.2 * fr / denom
+                    denom = fr + k1_ * ((1.0 - b_) + b_ * dl / avgdl64)
+                    sc = coef64 * fr / denom
                 yield pd.DataFrame(
                     {
                         "seg": sub["seg"].to_numpy(),

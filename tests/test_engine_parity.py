@@ -160,3 +160,19 @@ def test_sort_and_collapse(spark, corpus, built, oracle):
     assert len(langs) == len(set(langs))
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_sorted_early_termination_is_rank_safe(spark, built):
+    """Per-segment pre-limit (EarlyTerminatingSortingCollector analogue)
+    must return exactly the same rows as the exhaustive sorted top-k."""
+    from pyspark.sql import functions as F
+
+    d, _ = built
+    s = IndexSearcher(spark, d)
+    q = TermQuery("text", "t000000")
+    full = [(r["url"], r["doc_len"]) for r in
+            s.search_sorted(q, [F.desc("doc_len")], 7).collect()]
+    et = [(r["url"], r["doc_len"]) for r in
+          s.search_sorted(q, [F.desc("doc_len")], 7,
+                          early_terminate=True).collect()]
+    assert et == full

@@ -128,3 +128,33 @@ def test_explain_boolean_non_match_cases(spark, corpus, hi_mid, tmp_index):
             musts=[TermQuery("text", hi)],
             filters=[RangeQuery("lang", "zz", "zz")]), r["seg"], r["doc"])
         assert not e["match"]
+
+
+def test_update_documents_replaces_by_key(spark, corpus, hi_mid, tmp_index):
+    """IndexWriter::update_document analogue: delete-then-add by key in
+    one call; the replacement is visible, the old copy is not, and a
+    merge folds the old copy physically."""
+    from rucene_spark.merge import force_merge
+    from rucene_spark.query import MatchAllDocsQuery
+    import pandas as pd
+
+    hi, _ = hi_mid
+    w = IndexWriter(spark, tmp_index, n_segments=4)
+    w.build(spark.createDataFrame(corpus[["url", "text", "lang"]]))
+    victim = corpus["url"].iloc[3]
+
+    upd = pd.DataFrame({"url": [victim], "text": ["zupdated only text"],
+                        "lang": ["de"]})
+    w.update_documents(spark.createDataFrame(upd), n_segments=1)
+
+    s = IndexSearcher(spark, tmp_index)
+    assert s.count(MatchAllDocsQuery()) == len(corpus)
+    hits = s.search(TermQuery("text", "zupdated"), 5).collect()
+    assert [r["url"] for r in hits] == [victim]
+    assert hits[0]["lang"] == "de"
+
+    force_merge(spark, tmp_index)
+    s2 = IndexSearcher(spark, tmp_index)
+    assert s2.count(MatchAllDocsQuery()) == len(corpus)
+    assert [r["url"] for r in s2.search(TermQuery("text", "zupdated"), 5)
+            .collect()] == [victim]

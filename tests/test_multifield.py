@@ -156,3 +156,27 @@ def test_explain_multifield(spark, built, terms):
     assert e["match"]
     assert np.float32(e["value"]).view(np.int32) == \
         np.float32(r["score"]).view(np.int32)
+
+
+def test_per_field_similarity_parity(spark, built, corpus, terms):
+    """SimilarityProducer analogue: different (k1, b) per field changes
+    scores but engine and oracle stay bit-identical."""
+    from rucene_spark.oracle import OracleSearcher, build_oracle_index
+
+    d, _ = built
+    sim = {"title": (0.9, 0.4), "text": (1.6, 0.3)}
+    s = IndexSearcher(spark, d, similarity=sim)
+    idx = build_oracle_index(corpus.drop(columns=["html"]),
+                             n_segments=N_SEG, fields=FIELDS)
+    o = OracleSearcher(idx, similarity=sim)
+    hi, mid, _ = terms
+    for q in (TermQuery("title", hi), TermQuery("text", hi),
+              QueryStringQueryBuilder(
+                  f"{hi} {mid}", [("title", 2.0), ("text", 1.0)]).build(),
+              PhraseQuery.build("title", [hi, mid], slop=4)):
+        eng = _hits(s, q)
+        orc = _ohits(o, q)
+        assert eng == orc, str(q)
+    # and the custom-sim scores differ from default-sim scores
+    s0 = IndexSearcher(spark, d)
+    assert _hits(s, TermQuery("text", hi)) != _hits(s0, TermQuery("text", hi))
