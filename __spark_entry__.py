@@ -262,6 +262,21 @@ def q_highlight_topk(spark, sf_dir):
     return out.select("doc_id", "score", "snippet")
 
 
+def q_multirange_count(spark, sf_dir):
+    # multi-dim PointRangeQuery (bkd_writer.rs): two dims in one scan
+    from rucene_spark.query import MultiRangeQuery
+
+    s = _index_for(spark, sf_dir)
+    q = MultiRangeQuery([("n_chars", 150, 450), ("lang", "de", "en")])
+    return spark.createDataFrame([(s.count(q),)], "cnt long")
+
+
+def q_term_vector(spark, sf_dir):
+    # term vectors re-derived from the stored source (the stored fields
+    # ARE the source table) — positions uncapped, 0-based
+    return textops.term_vector(_docs(spark, sf_dir), 7)
+
+
 def q_exists_count(spark, sf_dir):
     from rucene_spark.query import ExistsQuery
 
@@ -480,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockmax_topk": q_blockmax_topk,
         "boosting_topk": q_boosting_topk,
         "highlight_topk": q_highlight_topk,
+        "multirange_count": q_multirange_count,
+        "term_vector": q_term_vector,
         "exists_count": q_exists_count,
         "filter_query_topk": q_filter_query_topk,
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
@@ -968,6 +985,13 @@ LIMIT 10
 """
         + highlight_query_sql(sorted([T_HI, T_MID]))
     )
+
+    sqls["multirange_count"] = (
+        "SELECT count(*)::BIGINT AS cnt FROM documents "
+        "WHERE n_chars BETWEEN 150 AND 450 AND lang BETWEEN 'de' AND 'en'"
+    )
+
+    sqls["term_vector"] = textops.term_vector_sql(7)
 
     sqls["exists_count"] = (
         "SELECT count(*)::BIGINT AS cnt FROM documents WHERE lang IS NOT NULL"

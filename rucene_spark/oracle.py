@@ -254,6 +254,21 @@ class OracleSearcher:
             return _Matches(
                 {d: s for d, vals in self.idx.values.items() if vals.get(q.column) is not None}
             )
+        from .query import MultiRangeQuery
+        if isinstance(q, MultiRangeQuery):
+            s = float(np.float32(boost))
+            out = {}
+            for d, vals in self.idx.values.items():
+                ok = True
+                for col, lo, hi in q.ranges:
+                    v = vals.get(col)
+                    if v is None or (lo is not None and v < lo) \
+                            or (hi is not None and v > hi):
+                        ok = False
+                        break
+                if ok:
+                    out[d] = s
+            return _Matches(out)
         raise TypeError(f"unsupported query: {type(q)}")
 
     def _term(self, q: TermQuery, boost: np.float32) -> _Matches:

@@ -205,6 +205,19 @@ class RangeQuery(Query):
 
 
 @dataclass
+class MultiRangeQuery(Query):
+    """Conjunction of per-column ranges — the multi-dimensional
+    PointRangeQuery (bkd_writer.rs: up to 8 dims); each dim prunes via
+    Parquet column stats, the conjunction is one scan."""
+
+    ranges: list[tuple]  # (column, lower|None, upper|None)
+
+    def __str__(self) -> str:
+        rs = ", ".join(f"{c}:[{lo}, {hi}]" for c, lo, hi in self.ranges)
+        return f"MultiRangeQuery({rs})"
+
+
+@dataclass
 class ExistsQuery(Query):
     """Docs having any value for a doc-values column (exists_query.rs:30-56)."""
 

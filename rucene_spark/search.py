@@ -711,6 +711,20 @@ class IndexSearcher:
             s = float(np.float32(boost))
             return self._docmeta.filter(cond).select(
                 "seg", "doc", F.lit(s).cast(self._score_t).alias("score"))
+        from .query import MultiRangeQuery
+        if isinstance(q, MultiRangeQuery):
+            # multi-dim points (bkd_writer.rs): all dims in ONE scan; each
+            # range reaches the Parquet reader as a pushed filter
+            cond = F.lit(True)
+            for col, lo, hi in q.ranges:
+                cond = cond & F.col(col).isNotNull()
+                if lo is not None:
+                    cond = cond & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(col) <= F.lit(hi))
+            s = float(np.float32(boost))
+            return self._docmeta.filter(cond).select(
+                "seg", "doc", F.lit(s).cast(self._score_t).alias("score"))
         if isinstance(q, ExistsQuery):
             s = float(np.float32(boost))
             return self._docmeta.filter(F.col(q.column).isNotNull()).select(

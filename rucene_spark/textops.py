@@ -231,3 +231,43 @@ SELECT doc_id,
          AS fp
 FROM tok GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def term_vector(df: DataFrame, doc_key, key_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document term vector: (term, tf, positions) sorted by term.
+
+    The reference stores term vectors at index time
+    (stored_fields/term_vectors, ~4k LoC) purely so they can be read back
+    per doc; here the stored fields ARE the source table, so the vector
+    is re-derived by re-running the analyzer over the stored text —
+    byte-identical output for the shipped analyzers with zero extra
+    storage or write amplification. Positions are 0-based and UNCAPPED
+    (term vectors never had the tf-10 postings cap)."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.filter(F.col(key_col) == doc_key)
+        .select(F.posexplode(toks).alias("pos", "term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pos")),
+                            lambda x: x.cast("string")),
+                ",").alias("positions"),
+        )
+        .orderBy("term")
+    )
+
+
+def term_vector_sql(doc_key) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents WHERE doc_id = {doc_key}
+)
+SELECT term, count(*)::BIGINT AS tf,
+       string_agg(pos, ',' ORDER BY pos) AS positions
+FROM tok GROUP BY term ORDER BY term
+"""

@@ -176,3 +176,17 @@ def test_search_sorted_early_termination_is_rank_safe(spark, built):
           s.search_sorted(q, [F.desc("doc_len")], 7,
                           early_terminate=True).collect()]
     assert et == full
+
+
+def test_multirange_parity(spark, built, oracle):
+    from rucene_spark.query import MultiRangeQuery
+
+    d, _ = built
+    _, osearch = oracle
+    s = IndexSearcher(spark, d)
+    q = MultiRangeQuery([("url", "https://site00", "https://site02"),
+                         ("lang", "de", "en")])
+    assert s.count(q) == osearch.count(q) > 0
+    eng = engine_hits(s, q, 10)
+    orc = osearch.search(q, 10)
+    assert_rank_identical(eng, orc, str(q))
