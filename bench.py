@@ -68,17 +68,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as SF
+
     from rucene_spark.build import IndexWriter
     from rucene_spark.query import (
         BooleanQuery,
         DisjunctionMaxQuery,
         PhraseQuery,
         QueryStringQueryBuilder,
+        SpanNearQuery,
+        SpanTermQuery,
         TermQuery,
     )
     from rucene_spark.search import IndexSearcher
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "title", SF.array_join(SF.slice(SF.split("text", " "), 1, 5), " "))
     n_docs = docs.count()
 
     idx_dir = tempfile.mkdtemp(prefix="rucene_bench_idx_")
@@ -90,6 +95,7 @@ def main() -> None:
         writer = IndexWriter(
             spark, idx_dir, n_segments=cpus, key_col="doc_id",
             partitioner="range",
+            fields=[("text", "text"), ("title", "title")],
         )
         writer.build(docs)
         build_secs = time.time() - t0
@@ -127,6 +133,15 @@ def main() -> None:
                 ), 10
             ).collect(),
         }
+        bench_queries["span_near_topk"] = lambda: searcher.search(
+            SpanNearQuery([SpanTermQuery("text", "key"),
+                           SpanTermQuery("text", "agg")],
+                          slop=3, in_order=True), 10
+        ).collect()
+        bench_queries["multifield_topk"] = lambda: searcher.search(
+            QueryStringQueryBuilder(
+                t_mid, [("title", 2.0), ("text", 1.0)]).build(), 10
+        ).collect()
         if hasattr(searcher, "search_blockmax"):
             bench_queries["blockmax_topk"] = lambda: searcher.search_blockmax(
                 [t_hi, t_mid, t_lo], 10

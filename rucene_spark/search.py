@@ -95,6 +95,7 @@ def _kp1_64(k1: float) -> float:
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
 _UB_SLACK = 1e-5  # relative slack on the BMW θ filter (f32 vs f64 rounding)
+_MAX_CAND_BUCKETS = 4096  # BMW pass-2 candidate-bucket collect cap
 
 
 class IndexSearcher:
@@ -419,20 +420,49 @@ class IndexSearcher:
         else:
             partial = partial.persist()
             candidates = partial.filter(F.col("score") + F.lit(ub_n) >= F.lit(thr))
-            ranges = {
-                r["seg"]: (r["lo"], r["hi"])
-                for r in candidates.groupBy("seg")
-                .agg(F.min("doc").alias("lo"), F.max("doc").alias("hi"))
-                .collect()
-            }
-            if ranges:
+            # candidate doc-id BUCKETS per segment (16k docs/bucket ≈ 128
+            # blocks): a non-essential block decodes only if it overlaps a
+            # bucket that still holds a candidate — far tighter than the
+            # per-segment [min, max] span when candidates are sparse. The
+            # collect is bounded: above _MAX_CAND_BUCKETS we degrade to the
+            # coarse per-segment range (metadata-sized either way).
+            bshift = 14
+            brows = (candidates
+                     .groupBy("seg", F.shiftright(F.col("doc"), bshift)
+                              .alias("b"))
+                     .count().limit(_MAX_CAND_BUCKETS + 1).collect())
+            if len(brows) <= _MAX_CAND_BUCKETS:
+                bset = {(int(r["seg"]), int(r["b"])) for r in brows}
+                by_seg: dict[int, list[int]] = {}
+                for sg, bb in bset:
+                    by_seg.setdefault(sg, []).append(bb)
+                rng = F.lit(False)
+                fb = F.shiftright(F.col("first_doc"), bshift)
+                lb = F.shiftright(F.col("last_doc"), bshift)
+                for sg, bs in by_seg.items():
+                    lo, hi = (min(bs) << bshift), ((max(bs) + 1) << bshift) - 1
+                    # narrow blocks (≤2 buckets) are bucket-checked exactly;
+                    # wide blocks fall back to the conservative seg range —
+                    # both keep every block that could hold a candidate
+                    narrow_hit = ((lb - fb <= 1)
+                                  & (fb.isin(bs) | lb.isin(bs)))
+                    wide_hit = ((lb - fb > 1)
+                                & (F.col("last_doc") >= lo)
+                                & (F.col("first_doc") <= hi))
+                    rng = rng | ((F.col("seg") == sg)
+                                 & (narrow_hit | wide_hit))
+            else:
+                ranges = {
+                    r["seg"]: (r["lo"], r["hi"])
+                    for r in candidates.groupBy("seg")
+                    .agg(F.min("doc").alias("lo"), F.max("doc").alias("hi"))
+                    .collect()
+                }
                 rng = F.lit(False)
                 for seg, (lo, hi) in ranges.items():
                     rng = rng | ((F.col("seg") == seg)
                                  & (F.col("last_doc") >= lo)
                                  & (F.col("first_doc") <= hi))
-            else:
-                rng = F.lit(False)
             ness_scan = self._postings.filter(
                 (F.col("field") == field)
                 & F.col("term").isin(list(ness_terms)) & rng).select(*scan_cols)
