@@ -429,6 +429,23 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.extract_metadata(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
+def q_ivf_assign(spark, sf_dir):
+    return ann.ivf_assign(_emb(spark, sf_dir))
+
+
+def q_ann_ivf(spark, sf_dir):
+    return ann.ann_ivf(_emb(spark, sf_dir), 7)
+
+
+def q_clean_corpus(spark, sf_dir):
+    from rucene_spark import pipeline as _pipeline
+    return _pipeline.clean_corpus(_docs(spark, sf_dir))
+
+
 # --- general analytics over the TPC-H-ish tables (engine sanity ops) -------
 
 
@@ -515,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_emb_neardup,
         "multimodal_meta": q_multimodal_meta,
+        "dedup_clusters": q_dedup_clusters,
+        "ivf_assign": q_ivf_assign,
+        "ann_ivf": q_ann_ivf,
+        "clean_corpus": q_clean_corpus,
         "tpch_q1_agg": q_tpch_q1_agg,
         "tpch_join_topk": q_tpch_join_topk,
     }
@@ -1022,6 +1043,11 @@ ORDER BY score DESC, sc.doc_id LIMIT 10
     sqls["ann_lsh"] = ann.ann_lsh_sql(0)
     sqls["embedding_neardup"] = ann.embedding_neardup_sql()
     sqls["multimodal_meta"] = multimodal.EXTRACT_METADATA_SQL
+    sqls["dedup_clusters"] = dedup.dedup_clusters_sql()
+    sqls["ivf_assign"] = ann.ivf_assign_sql()
+    sqls["ann_ivf"] = ann.ann_ivf_sql(7)
+    from rucene_spark import pipeline as _pipeline
+    sqls["clean_corpus"] = _pipeline.clean_corpus_sql()
 
     sqls["tpch_q1_agg"] = """
 SELECT l_returnflag, l_linestatus,

@@ -244,6 +244,148 @@ def embedding_neardup(df: DataFrame, limit: int = 20,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — cell-partitioned scale path
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8      # coarse-quantizer cells; scale knob like n_planes
+N_PROBE = 2      # cells probed per query
+
+
+def _seed_centroids(df: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` vectors with the
+    smallest md5(vec_id) — a deterministic pseudo-random sample of the
+    data, selected by distributed top-k (TakeOrderedAndProject), never a
+    global sort. The cell id IS the seed's vec_id.
+
+    A Lloyd/k-means refinement would balance cells better, but float
+    summation order makes cross-engine (Spark vs DuckDB oracle)
+    bit-determinism of the means impossible; quantizer quality affects
+    only recall/balance, not the IVF dataflow under test — production
+    swaps in k-means centroids trained offline and broadcast, the
+    assign/probe plan is unchanged."""
+    return (
+        df.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("embedding").alias("cemb"))
+    )
+
+
+_CELL_DOT = (
+    "aggregate(zip_with(embedding, cemb,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def ivf_assign(df: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """(vec_id, cell): each vector's nearest coarse-quantizer cell by
+    cosine (tie → smallest cell id). One broadcast join of the K centroids
+    against the scan + one map-side-combinable max_by agg — no shuffle of
+    the embedding payload beyond the K-row broadcast."""
+    seeds = _seed_centroids(df, n_cells)
+    scored = (
+        df.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id", "cell",
+            (F.expr(_CELL_DOT)
+             / (_norm("embedding") * _norm("cemb"))).alias("_cos"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.expr("max_by(cell, struct(_cos, -cell))").alias("cell"))
+        .orderBy("vec_id")
+    )
+
+
+def _seeds_sql(n_cells: int) -> str:
+    return (f"SELECT vec_id AS cell, embedding::DOUBLE[] AS cemb "
+            f"FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id "
+            f"LIMIT {n_cells}")
+
+
+_ASSIGN_SQL = """
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], s.cemb)
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(s.cemb, s.cemb))) DESC,
+                      s.cell) AS rn
+    FROM embeddings e, seeds s) WHERE rn = 1)
+"""
+
+
+def ivf_assign_sql(n_cells: int = N_CELLS) -> str:
+    return (f"WITH seeds AS ({_seeds_sql(n_cells)}),"
+            + _ASSIGN_SQL
+            + "SELECT vec_id, cell FROM assign ORDER BY vec_id")
+
+
+def ann_ivf(df: DataFrame, query_vec_id: int, k: int = 10,
+            n_cells: int = N_CELLS, nprobe: int = N_PROBE) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the query's
+    ``nprobe`` nearest cells. With the corpus written partitioned/bucketed
+    by cell, the probe predicate prunes to nprobe/n_cells of the data —
+    the inverted-file layout ANN libraries use, expressed as Spark
+    partition pruning. Raise ``n_cells`` with corpus size (cells ~ √N is
+    the usual IVF rule) and recover recall with ``nprobe``."""
+    q = _query_vec(df, query_vec_id)
+    qn = sum(v * v for v in q) ** 0.5
+    seeds = _seed_centroids(df, n_cells).collect()  # K rows — metadata-sized
+    by_cos = sorted(
+        ((sum(float(c) * v for c, v in zip(r["cemb"], q))
+          / ((sum(float(c) ** 2 for c in r["cemb"]) ** 0.5) * qn),
+          -r["cell"]) , r["cell"])
+        for r in seeds
+    )
+    probes = [cell for _key, cell in by_cos[::-1][:nprobe]]
+    assign = ivf_assign(df, n_cells)
+    cos = _dot_lit("embedding", q) / (_norm("embedding") * F.lit(qn))
+    return (
+        df.join(assign, "vec_id")
+        .where(F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_ivf_sql(query_vec_id: int, k: int = 10, n_cells: int = N_CELLS,
+                nprobe: int = N_PROBE) -> str:
+    return f"""
+WITH seeds AS ({_seeds_sql(n_cells)}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT cell FROM (
+    SELECT s.cell,
+           row_number() OVER (
+             ORDER BY list_dot_product(s.cemb, q.qv)
+                      / (sqrt(list_dot_product(s.cemb, s.cemb))
+                         * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                      s.cell) AS rn
+    FROM seeds s, q) WHERE rn <= {nprobe}),
+{_ASSIGN_SQL.strip().lstrip(chr(10))}
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / ({_norm_sql('e.embedding')}
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings e CROSS JOIN q
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probes p ON p.cell = a.cell
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, e.vec_id
+LIMIT {k}
+"""
+
+
 def embedding_neardup_sql(limit: int = 20,
                           bucket_cap: int = NEARDUP_BUCKET_CAP) -> str:
     return f"""

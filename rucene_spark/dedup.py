@@ -147,7 +147,8 @@ def _bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.sig")
 
 
-def _pair_jaccard(pairs: DataFrame, sh: DataFrame, limit: int) -> DataFrame:
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame,
+                  limit: int | None) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
@@ -155,7 +156,7 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame, limit: int) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("_i"))
     )
-    return (
+    scored = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
                                 F.col("n").alias("_na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"),
@@ -165,8 +166,27 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame, limit: int) -> DataFrame:
             F.round(F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 6)
             .alias("jaccard"),
         )
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(limit)
+    )
+    if limit is None:
+        return scored
+    return scored.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(limit)
+
+
+def _lsh_pairs(df: DataFrame, bucket_cap: int) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b), degenerate band
+    buckets (> bucket_cap members) dropped."""
+    bands = _bands(minhash_signatures(df))
+    small = (bands.groupBy("band", "sig")
+             .agg(F.count("*").alias("_bs"))
+             .where(F.col("_bs") <= bucket_cap)
+             .select("band", "sig"))
+    bands = bands.join(small, ["band", "sig"])
+    return (
+        bands.alias("a").join(bands.alias("b"), ["band", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -177,20 +197,7 @@ def minhash_candidates(df: DataFrame, limit: int = 20,
     band signature shared by b docs would emit b² candidates — buckets
     larger than ``bucket_cap`` are dropped (their members still meet
     through their other, selective bands)."""
-    bands = _bands(minhash_signatures(df))
-    small = (bands.groupBy("band", "sig")
-             .agg(F.count("*").alias("_bs"))
-             .where(F.col("_bs") <= bucket_cap)
-             .select("band", "sig"))
-    bands = bands.join(small, ["band", "sig"])
-    pairs = (
-        bands.alias("a").join(bands.alias("b"), ["band", "sig"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return _pair_jaccard(pairs, _shingles(df), limit)
+    return _pair_jaccard(_lsh_pairs(df, bucket_cap), _shingles(df), limit)
 
 
 def _bands_sql() -> str:
@@ -385,3 +392,111 @@ WHERE a.doc_id < b.doc_id
 ORDER BY hamming, doc_a, doc_b
 LIMIT {limit}
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+#: default verification threshold for an edge in the duplicate graph
+CLUSTER_JACCARD = 0.5
+
+
+def neardup_pairs(df: DataFrame, threshold: float = CLUSTER_JACCARD,
+                  bucket_cap: int = BAND_BUCKET_CAP) -> DataFrame:
+    """ALL verified near-dup pairs (doc_a < doc_b, exact shingle Jaccard
+    >= threshold), found through LSH blocking — the edge set of the
+    duplicate graph. No top-k: downstream clustering needs every edge."""
+    j = _pair_jaccard(_lsh_pairs(df, bucket_cap), _shingles(df), limit=None)
+    return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
+
+
+def dedup_clusters(df: DataFrame, threshold: float = CLUSTER_JACCARD,
+                   bucket_cap: int = BAND_BUCKET_CAP,
+                   max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical): duplicate-cluster
+    resolution — connected components over the verified near-dup pair
+    graph. ``cluster_id`` = min doc_id in the component (the canonical
+    survivor a curation pipeline keeps); singletons are their own cluster.
+
+    Distributed min-label propagation: every round each node takes the min
+    label among itself and its LSH-graph neighbors — one broadcast-free
+    shuffle join + one groupBy per round, converging in O(component
+    diameter) rounds (duplicate components are near-cliques, so 2–4 rounds
+    in practice; big-data CC algorithms like large-star/small-star cut the
+    bound to O(log n) but pay more per round). Convergence is detected
+    from Σ label, which is strictly decreasing until fixpoint (each node's
+    label is monotone non-increasing) — one metadata-sized agg per round,
+    no per-node diff join. Labels are localCheckpoint'ed every round so
+    the plan/lineage stays O(1) in rounds at 100-TB scale.
+    """
+    one_way = neardup_pairs(df, threshold, bucket_cap)
+    edges = one_way.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        one_way.selectExpr("doc_b AS src", "doc_a AS dst")).localCheckpoint()
+    labels = df.select(F.col("doc_id").alias("node"),
+                       F.col("doc_id").alias("label"))
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        msgs = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"), "label"))
+        labels = (labels.union(msgs).groupBy("node")
+                  .agg(F.min("label").alias("label"))).localCheckpoint()
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                "cluster_size",
+                (F.col("node") == F.col("label")).cast("int")
+                .alias("is_canonical"))
+        .orderBy("doc_id")
+    )
+
+
+def dedup_clusters_sql(threshold: float = CLUSTER_JACCARD,
+                       bucket_cap: int = BAND_BUCKET_CAP) -> str:
+    """Recursive-CTE oracle: min reachable doc_id over the same verified
+    edge set (edges are symmetric, so min-over-reachable = component min)."""
+    core = _minhash_sig_core_sql().replace("WITH sh", "WITH RECURSIVE sh", 1)
+    return (
+        core
+        + ", " + _bands_sql()
+        + f""", smallb AS (
+  SELECT band, bsig FROM bands GROUP BY band, bsig
+  HAVING count(*) <= {bucket_cap}),
+cbands AS (SELECT bands.* FROM bands JOIN smallb USING (band, bsig)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cbands a JOIN cbands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+  GROUP BY p.doc_a, p.doc_b),
+vpairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(i / (na.n + nb.n - i), 6) >= {threshold}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM vpairs
+          UNION ALL SELECT doc_b, doc_a FROM vpairs),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.node),
+lab AS (SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM walk GROUP BY node),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+       GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size,
+       CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical
+FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id
+"""
+    )

@@ -232,3 +232,101 @@ def test_ann_multiprobe_recall(spark):
               ann.ann_lsh(df, 0, k=10, multiprobe=2).collect()}
     assert len(probed & brute) >= len(single & brute)
     assert len(probed) >= len(single)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C (but A and C more distant) must land in ONE cluster:
+    connected components, not pairwise grouping."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, base),
+        (1, base.replace("juliet", "kilo")),     # near dup of 0
+        (2, base.replace("juliet", "kilo").replace("alpha", "zulu")),  # near 1
+        (3, "totally unrelated words about spark clusters and parquet files"),
+        (4, base),                               # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_clusters(df, threshold=0.5).collect()}
+    assert len(out) == 5                      # every doc appears exactly once
+    assert out[0]["cluster_id"] == 0 and out[4]["cluster_id"] == 0
+    assert out[1]["cluster_id"] == 0 and out[2]["cluster_id"] == 0
+    assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+    assert out[0]["cluster_size"] == 4
+    assert out[0]["is_canonical"] == 1 and out[1]["is_canonical"] == 0
+    # exactly one canonical per cluster
+    canon = [r for r in out.values() if r["is_canonical"] == 1]
+    assert {c["cluster_id"] for c in canon} == {0, 3}
+
+
+def test_dedup_clusters_chain_converges(spark):
+    """A chain a0~a1~a2~a3 (each adjacent pair near-dup) converges to one
+    component even though the ends share little — exercises >1 label
+    propagation round."""
+    words = ("w%d " * 12).strip()
+    texts = []
+    vocab = [f"t{i}" for i in range(16)]
+    for s in range(4):                     # doc s uses vocab[s : s+12]
+        texts.append((s, " ".join(vocab[s:s + 12])))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.dedup_clusters(df, threshold=0.4).collect()}
+    assert set(out.values()) == {0}
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assign_covers_all_and_is_deterministic(emb):
+    a1 = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb).collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb).collect()}
+    assert a1 == a2
+    assert len(a1) == 40
+    assert a1[0] == a1[1]            # near-identical vectors share the cell
+    cells = set(a1.values())
+    assert 1 < len(cells) <= 8       # quantizer actually partitions
+
+
+def test_ann_ivf_subset_of_bruteforce_order(emb):
+    brute = [r["vec_id"] for r in ann.ann_bruteforce(emb, 0, k=40).collect()]
+    ivf = [r["vec_id"] for r in ann.ann_ivf(emb, 0, k=40).collect()]
+    assert set(ivf) <= set(brute)
+    assert ivf == [v for v in brute if v in set(ivf)]
+    assert 1 in ivf                  # planted neighbor shares the query cell
+
+
+def test_ann_ivf_nprobe_recall_monotone(emb):
+    brute = {r["vec_id"] for r in ann.ann_bruteforce(emb, 0, k=10).collect()}
+    r1 = {r["vec_id"] for r in ann.ann_ivf(emb, 0, k=10, nprobe=1).collect()}
+    r4 = {r["vec_id"] for r in ann.ann_ivf(emb, 0, k=10, nprobe=4).collect()}
+    r8 = {r["vec_id"] for r in ann.ann_ivf(emb, 0, k=10, nprobe=8).collect()}
+    assert len(r4 & brute) >= len(r1 & brute)
+    assert r8 == brute               # probing every cell = exact
+
+
+# ---------------------------------------------------------------------------
+# clean-corpus composition
+# ---------------------------------------------------------------------------
+
+
+def test_clean_corpus_composition(spark):
+    from rucene_spark.pipeline import clean_corpus
+    good = ("the and is in to of a for on with this that " * 8).strip()
+    rows = [
+        (0, good),                                  # survives
+        (1, good),                                  # exact dup -> dropped
+        (2, good + " extra"),                       # near dup of 0 -> dropped
+        (3, "der die und ist das ein nicht mit " * 8),   # german -> dropped
+        (4, "x"),                                   # low quality -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = clean_corpus(df).collect()
+    assert [r["doc_id"] for r in kept] == [0]
+    assert kept[0]["pred_lang"] == "en"
