@@ -262,6 +262,16 @@ def q_highlight_topk(spark, sf_dir):
     return out.select("doc_id", "score", "snippet")
 
 
+def q_highlight_phrase_topk(spark, sf_dir):
+    # phrase-unit highlighting (FVH FieldPhraseList semantics): the exact
+    # phrase occurrence is wrapped as ONE tag pair, never per-term
+    from rucene_spark.highlight import highlight_phrase
+
+    s = _index_for(spark, sf_dir)
+    out = highlight_phrase(s, _docs(spark, sf_dir), [PH_A, PH_B], 10)
+    return out.select("doc_id", "score", "snippet")
+
+
 def q_multirange_count(spark, sf_dir):
     # multi-dim PointRangeQuery (bkd_writer.rs): two dims in one scan
     from rucene_spark.query import MultiRangeQuery
@@ -512,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockmax_topk": q_blockmax_topk,
         "boosting_topk": q_boosting_topk,
         "highlight_topk": q_highlight_topk,
+        "highlight_phrase_topk": q_highlight_phrase_topk,
         "multirange_count": q_multirange_count,
         "term_vector": q_term_vector,
         "exists_count": q_exists_count,
@@ -1005,6 +1016,14 @@ LIMIT 10
   ORDER BY sum(score) DESC, doc_id LIMIT 10)
 """
         + highlight_query_sql(sorted([T_HI, T_MID]))
+    )
+
+    from rucene_spark.highlight import highlight_phrase_sql
+
+    # phrase hits CTE = the exact-phrase BM25 oracle wrapped as a subquery
+    sqls["highlight_phrase_topk"] = (
+        f"WITH hits AS (SELECT * FROM ({sqls['phrase_topk']}))\n"
+        + highlight_phrase_sql([PH_A, PH_B])
     )
 
     sqls["multirange_count"] = (

@@ -35,14 +35,15 @@ import time
 from pyspark.sql import SparkSession
 
 
-def _median_time(fn, reps: int) -> float:
+def _timed(fn, reps: int) -> tuple[float, float]:
+    """(median, p99~max) seconds over ``reps`` runs after one warm-up."""
     fn()  # warm-up
     times = []
     for _ in range(reps):
         t0 = time.time()
         fn()
         times.append(time.time() - t0)
-    return statistics.median(times)
+    return statistics.median(times), max(times)
 
 
 def main() -> None:
@@ -147,8 +148,11 @@ def main() -> None:
                 [t_hi, t_mid, t_lo], 10
             ).collect()
 
+        queries_p99: dict[str, float] = {}
         for name, fn in bench_queries.items():
-            queries[name] = round(_median_time(fn, reps), 4)
+            med, p99 = _timed(fn, reps)
+            queries[name] = round(med, 4)
+            queries_p99[name] = round(p99, 4)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -159,6 +163,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_p99": queries_p99,
         "sf": sf,
         "doc_count": n_docs,
         "index_docs_per_sec": round(n_docs / build_secs, 2),

@@ -105,6 +105,87 @@ def highlight_query(
     )
 
 
+def highlight_phrase(
+    searcher: IndexSearcher,
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    window: int = 3,
+    pre: str = "<b>",
+    post: str = "</b>",
+    text_col: str = "text",
+    field: str = "text",
+) -> DataFrame:
+    """Phrase-unit highlighting — the FieldPhraseList semantics of the
+    reference's FVH (highlight/mod.rs: phrase queries highlight as ONE
+    unit, never as scattered per-term tags): top-k docs for the exact
+    phrase, fragment = ``window`` tokens either side of the first phrase
+    occurrence, the whole occurrence wrapped in one pre/post tag pair.
+    Deterministic and SQL-mirrorable; JVM column expressions only."""
+    from .query import PhraseQuery
+
+    key = searcher.key_col
+    p = len(terms)
+    hits = searcher.search(PhraseQuery.build(field, terms, slop=0), k).select(
+        key, "seg", "doc", "score")
+    joined = hits.join(docs_df.select(key, text_col), key)
+
+    toks = F.split(F.col(text_col), " ")
+    phrase_arr = F.array(*[F.lit(t) for t in terms])
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - p + 1, F.lit(1))),
+        lambda s: F.slice(toks, s, p) == phrase_arr,
+    )
+    s0 = F.element_at(starts, 1)  # hits guarantee >=1 occurrence
+    fstart = F.greatest(F.lit(1), s0 - window)
+    fend = F.least(F.size(toks), s0 + p - 1 + window)
+    frag = F.slice(toks, fstart, fend - fstart + 1)
+    wrapped = F.transform(
+        frag,
+        lambda t, i: F.concat(
+            F.when(fstart + i == s0, F.lit(pre)).otherwise(F.lit("")),
+            t,
+            F.when(fstart + i == s0 + p - 1, F.lit(post)).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        joined.select(
+            key, "seg", "doc",
+            F.round(F.col("score"), 6).alias("score"),
+            F.concat_ws(" ", wrapped).alias("snippet"),
+        )
+        .orderBy(F.desc("score"), "seg", "doc")
+    )
+
+
+def highlight_phrase_sql(terms: list[str], k: int = 10, window: int = 3,
+                         pre: str = "<b>", post: str = "</b>") -> str:
+    """DuckDB mirror of :func:`highlight_phrase` (caller prepends a CTE
+    named ``hits`` with columns (doc_id, score))."""
+    p = len(terms)
+    match = " AND ".join(
+        f"parts[s + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+SELECT doc_id, round(score, 6) AS score,
+       array_to_string(
+         [ concat(CASE WHEN pos = s0 THEN '{pre}' ELSE '' END,
+                  parts[pos],
+                  CASE WHEN pos = s0 + {p} - 1 THEN '{post}' ELSE '' END)
+           for pos in range(greatest(1, s0 - {window}),
+                            least(len(parts), s0 + {p} - 1 + {window}) + 1) ],
+         ' ') AS snippet
+FROM (
+  SELECT h.doc_id, h.score, parts,
+         [ s for s in range(1, greatest(len(parts) - {p} + 1, 1) + 1)
+           if {match} ][1] AS s0
+  FROM hits h JOIN (SELECT doc_id, string_split(text, ' ') AS parts
+                    FROM documents) d ON d.doc_id = h.doc_id
+)
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
 def highlight_query_sql(terms: list[str], k: int = 10,
                         window_tokens: int = 7,
                         pre: str = "<b>", post: str = "</b>") -> str:

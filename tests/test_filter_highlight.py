@@ -106,3 +106,33 @@ def test_highlight_query_multi_term_best_window(spark, setup):
                   for s0 in range(nstarts)]
         got_count = sum(1 for t in toks if t.startswith("<b>"))
         assert got_count == max(scores)
+
+
+def test_highlight_phrase_unit_wrap(spark):
+    """Phrase highlighting wraps the whole occurrence as ONE tag pair and
+    windows around the phrase start, even when the individual terms also
+    appear scattered elsewhere (FVH FieldPhraseList: phrase = one unit)."""
+    from rucene_spark.highlight import highlight_phrase
+
+    rows = [
+        # 'red fox' scattered-first: red@0 ... fox@3, phrase at 5-6
+        (0, "red dog and fox then red fox runs far away tonight"),
+        # phrase at position 0 (window clamps at the left edge)
+        (1, "red fox starts the line and more words follow here"),
+        (2, "no phrase here just red things and a fox alone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="hlph_idx_")
+    IndexWriter(spark, d, n_segments=2, key_col="doc_id",
+                partitioner="range").build(docs)
+    s = IndexSearcher(spark, d)
+    out = {r["doc_id"]: r["snippet"]
+           for r in highlight_phrase(s, docs, ["red", "fox"],
+                                     k=10, window=2).collect()}
+    assert set(out) == {0, 1}                     # doc 2 has no phrase
+    # doc 0: first PHRASE occurrence is at tokens 5-6, not the scattered
+    # red@0/fox@3; window=2 → tokens 3..8, one tag pair around 'red fox'
+    assert out[0] == "fox then <b>red fox</b> runs far"
+    # doc 1: phrase at 0, left window clamped
+    assert out[1] == "<b>red fox</b> starts the"
