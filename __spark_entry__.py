@@ -230,6 +230,16 @@ def q_sort_by_field(spark, sf_dir):
     return rows.select("doc_id", "n_chars")
 
 
+def q_early_term_sorted(spark, sf_dir):
+    # EarlyTerminatingSortingCollector analogue: every segment contributes
+    # at most its own top-k (window rank cutoff) BEFORE the global merge;
+    # rank-exact by construction, so the oracle is the plain ORDER BY
+    s = _index_for(spark, sf_dir)
+    rows = s.search_sorted(TermQuery("text", T_MID), [F.asc("n_chars")], 10,
+                           early_terminate=True)
+    return rows.select("doc_id", "n_chars")
+
+
 def q_collapse_by_lang(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     rows = s.collapse(TermQuery("text", T_MID), "lang", 10)
@@ -512,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_all_count": q_match_all_count,
         "range_count": q_range_count,
         "sort_by_field": q_sort_by_field,
+        "early_term_sorted": q_early_term_sorted,
         "collapse_by_lang": q_collapse_by_lang,
         "rescore_topk": q_rescore_topk,
         "querystring_topk": q_querystring_topk,
@@ -791,6 +802,14 @@ SELECT d.doc_id, d.n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = '{T_LO}')
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+
+    sqls["early_term_sorted"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = '{T_MID}')
+ORDER BY d.n_chars ASC, d.doc_id LIMIT 10
 """
 
     sqls["collapse_by_lang"] = (
