@@ -44,10 +44,16 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # config-matrix knobs: results must be invariant to parallelism,
+    # shuffle-partition count, and AQE on/off (plan-independence check)
+    cpus = os.environ.get("CHECK_CPUS", "8")
+    shuffle = os.environ.get("CHECK_SHUFFLE", "8")
+    aqe = os.environ.get("CHECK_AQE", "true")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("check-oracle")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
