@@ -466,6 +466,20 @@ def q_clean_corpus(spark, sf_dir):
     return _pipeline.clean_corpus(_docs(spark, sf_dir))
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+def q_events_window_agg(spark, sf_dir):
+    from rucene_spark import events as _events_mod
+    return _events_mod.window_rollup(_events(spark, sf_dir))
+
+
+def q_events_sessionize(spark, sf_dir):
+    from rucene_spark import events as _events_mod
+    return _events_mod.sessionize(_events(spark, sf_dir))
+
+
 # --- general analytics over the TPC-H-ish tables (engine sanity ops) -------
 
 
@@ -558,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ann_ivf": q_ann_ivf,
         "clean_corpus": q_clean_corpus,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
         "tpch_q1_agg": q_tpch_q1_agg,
         "tpch_join_topk": q_tpch_join_topk,
     }
@@ -1086,6 +1102,9 @@ ORDER BY score DESC, sc.doc_id LIMIT 10
     sqls["ann_ivf"] = ann.ann_ivf_sql(7)
     from rucene_spark import pipeline as _pipeline
     sqls["clean_corpus"] = _pipeline.clean_corpus_sql()
+    from rucene_spark import events as _events_mod
+    sqls["events_window_agg"] = _events_mod.WINDOW_ROLLUP_SQL
+    sqls["events_sessionize"] = _events_mod.sessionize_sql()
 
     sqls["tpch_q1_agg"] = """
 SELECT l_returnflag, l_linestatus,

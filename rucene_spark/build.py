@@ -41,17 +41,16 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import storage
 from .analysis import tokenize_factorized
 from .bm25 import TERM_FREQ_LIMIT
 from .codec import BLOCK_SIZE, for_encode, varint_encode_sized
@@ -284,13 +283,9 @@ def _invert_field(
     return postings, segstats, lens, norm_bytes
 
 
-def _atomic_write_dir(write_fn, final_dir: str) -> None:
-    tmp = f"{final_dir}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
-    write_fn(tmp)
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    os.replace(tmp, final_dir)
+#: commit-critical dir publish — routed through the storage seam
+#: (rucene_spark.storage) so an object-store port swaps one module
+_atomic_write_dir = storage.publish_dir
 
 
 def _build_segment_files(
@@ -307,9 +302,8 @@ def _build_segment_files(
     """
     seg = int(pdf["segment_id"].iloc[0])
     marker = os.path.join(index_dir, "markers", f"seg-{seg}.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            return pd.DataFrame([json.loads(fh.read())])
+    if storage.exists(marker):
+        return pd.DataFrame([json.loads(storage.read_text(marker))])
 
     t0 = time.time()
     pdf = pdf.drop(columns=["segment_id"])
@@ -324,7 +318,7 @@ def _build_segment_files(
     dirname = f"seg-{seg}-base"
 
     _atomic_write_dir(
-        lambda d: pq.write_table(
+        lambda d: storage.write_parquet(
             pa.Table.from_pandas(postings, schema=_POSTINGS_PA_SCHEMA, preserve_index=False),
             os.path.join(d, "part-0.parquet"),
             row_group_size=16384,
@@ -339,11 +333,12 @@ def _build_segment_files(
                 i, f.name, dm_table.column(i).cast(pa.timestamp("us", f.type.tz))
             )
     _atomic_write_dir(
-        lambda d: pq.write_table(dm_table, os.path.join(d, "part-0.parquet")),
+        lambda d: storage.write_parquet(
+            dm_table, os.path.join(d, "part-0.parquet")),
         os.path.join(index_dir, "docmeta", dirname),
     )
     _atomic_write_dir(
-        lambda d: pq.write_table(
+        lambda d: storage.write_parquet(
             pa.Table.from_pandas(segstats, preserve_index=False),
             os.path.join(d, "part-0.parquet"),
         ),
@@ -364,11 +359,7 @@ def _build_segment_files(
         "max_key": keys.max() if len(keys) else "",
         "dir": dirname,
     }
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    mtmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(mtmp, "w") as fh:
-        fh.write(json.dumps(row))
-    os.replace(mtmp, marker)
+    storage.atomic_write_text(marker, json.dumps(row))
     return pd.DataFrame([row])
 
 
@@ -585,16 +576,16 @@ def gc_index(index_dir: str) -> list[str]:
     removed = []
     for table in ("postings", "docmeta", "segstats"):
         root = os.path.join(index_dir, table)
-        if not os.path.isdir(root):
+        if not storage.is_dir(root):
             continue
-        for d in os.listdir(root):
+        for d in storage.listdir(root):
             if (table, d) not in live:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                storage.remove_dir(os.path.join(root, d))
                 removed.append(os.path.join(table, d))
-    for d in os.listdir(index_dir):
+    for d in storage.listdir(index_dir):
         if (d.startswith("term_stats") and d != ts_live) or \
                 d.startswith("tmpstage-"):
-            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+            storage.remove_dir(os.path.join(index_dir, d))
             removed.append(d)
     return removed
 
@@ -638,13 +629,9 @@ def write_term_stats(spark: SparkSession, index_dir: str,
 def write_manifest(index_dir: str, manifest: dict) -> None:
     """Atomic commit-point swap (the ``segments_N`` two-phase commit,
     index_writer.rs:630-640)."""
-    mpath = os.path.join(index_dir, MANIFEST)
-    tmp = f"{mpath}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.replace(tmp, mpath)
+    storage.atomic_write_text(os.path.join(index_dir, MANIFEST),
+                              json.dumps(manifest, indent=1))
 
 
 def load_manifest(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, MANIFEST)) as fh:
-        return json.load(fh)
+    return json.loads(storage.read_text(os.path.join(index_dir, MANIFEST)))

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import time
 import uuid
 
@@ -43,6 +42,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import SparkSession, functions as F
 
+from . import storage
 from .build import (
     gc_index,
     load_manifest,
@@ -81,12 +81,13 @@ def delete_by_keys(index_dir: str, keys: list, gen: int | None = None) -> int:
     if gen is None:
         gen = int(load_manifest(index_dir).get("gen_counter", 0))
     d = os.path.join(index_dir, TOMBSTONES)
-    os.makedirs(d, exist_ok=True)
+    storage.makedirs(d)
     t = pa.table({
         "key": pa.array([str(k) for k in keys], type=pa.string()),
         "gen": pa.array([int(gen)] * len(keys), type=pa.int64()),
     })
-    pq.write_table(t, os.path.join(d, f"tomb-{uuid.uuid4().hex[:12]}.parquet"))
+    storage.write_parquet(
+        t, os.path.join(d, f"tomb-{uuid.uuid4().hex[:12]}.parquet"))
     return len(keys)
 
 
@@ -110,14 +111,15 @@ def delete_by_query(spark: SparkSession, index_dir: str, query) -> int:
     n = keys.count()
     if n:
         d = os.path.join(index_dir, TOMBSTONES)
-        os.makedirs(d, exist_ok=True)
+        storage.makedirs(d)
         keys.write.mode("append").parquet(d)
     return n
 
 
 def has_tombstones(index_dir: str) -> bool:
     d = os.path.join(index_dir, TOMBSTONES)
-    return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+    return storage.is_dir(d) and any(
+        f.endswith(".parquet") for f in storage.listdir(d))
 
 
 # ---------------------------------------------------------------------------
@@ -275,8 +277,8 @@ class SegmentMerger:
         del_counts: dict[int, int] = {}
         tomb_dir_p = os.path.join(self.index_dir, TOMBSTONES)
         tomb_files_before = (
-            [f for f in os.listdir(tomb_dir_p) if f.endswith(".parquet")]
-            if os.path.isdir(tomb_dir_p) else [])
+            [f for f in storage.listdir(tomb_dir_p) if f.endswith(".parquet")]
+            if storage.is_dir(tomb_dir_p) else [])
         if tomb_files_before:
             tomb = self.spark.read.parquet(tomb_dir_p)
             if "gen" not in tomb.columns:
@@ -537,18 +539,18 @@ class SegmentMerger:
         # tombstone files land BEFORE old ones are removed — duplicates
         # are harmless under the anti-join)
         if tomb_stage is not None:
-            for i, f in enumerate(sorted(os.listdir(tomb_stage))):
+            for i, f in enumerate(sorted(storage.listdir(tomb_stage))):
                 if f.endswith(".parquet"):
-                    os.replace(os.path.join(tomb_stage, f),
-                               os.path.join(tomb_dir_p,
-                                            f"tomb-{token}-{i}.parquet"))
-            shutil.rmtree(tomb_stage, ignore_errors=True)
+                    storage.rename_file(
+                        os.path.join(tomb_stage, f),
+                        os.path.join(tomb_dir_p, f"tomb-{token}-{i}.parquet"))
+            storage.remove_dir(tomb_stage)
         for f in tomb_files_before:
             p = os.path.join(tomb_dir_p, f)
             if os.path.exists(p):
                 os.remove(p)
         if del_dir is not None:
-            shutil.rmtree(del_dir, ignore_errors=True)
+            storage.remove_dir(del_dir)
         gc_index(self.index_dir)
         return new_row
 
