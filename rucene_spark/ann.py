@@ -272,33 +272,32 @@ def _seed_centroids(df: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
-_CELL_DOT = (
-    "aggregate(zip_with(embedding, cemb,"
-    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+def _best_cell_expr(seeds: list) -> "F.Column":
+    """Inline argmax-cosine over the K collected centroids: one struct
+    per cell (score, -cell, cell), array_max picks (max score, then
+    smallest cell). The common 1/|v| factor is dropped — it cannot change
+    the per-row argmax — so the whole assignment is a single projection:
+    ZERO shuffles, no join (the centroids are literals, the way a real
+    IVF broadcasts its trained quantizer)."""
+    entries = []
+    for r in sorted(seeds, key=lambda r: int(r["cell"])):
+        c = [float(x) for x in r["cemb"]]
+        cn = sum(v * v for v in c) ** 0.5
+        score = _dot_lit("embedding", c) / F.lit(cn)
+        entries.append(F.struct(score.alias("s"),
+                                F.lit(-int(r["cell"])).alias("nc"),
+                                F.lit(int(r["cell"])).alias("cell")))
+    return F.array_max(F.array(*entries))["cell"]
 
 
 def ivf_assign(df: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     """(vec_id, cell): each vector's nearest coarse-quantizer cell by
-    cosine (tie → smallest cell id). One broadcast join of the K centroids
-    against the scan + one map-side-combinable max_by agg — no shuffle of
-    the embedding payload beyond the K-row broadcast."""
-    seeds = _seed_centroids(df, n_cells)
-    scored = (
-        df.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id", "cell",
-            (F.expr(_CELL_DOT)
-             / (_norm("embedding") * _norm("cemb"))).alias("_cos"),
-        )
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.expr("max_by(cell, struct(_cos, -cell))").alias("cell"))
-        .orderBy("vec_id")
-    )
+    cosine (tie → smallest cell id). The K centroids are collected once
+    (metadata-sized, like a trained quantizer) and inlined as literal
+    expressions — assignment is one scan-projection with no shuffle."""
+    seeds = _seed_centroids(df, n_cells).collect()
+    return (df.select("vec_id", _best_cell_expr(seeds).alias("cell"))
+            .orderBy("vec_id"))
 
 
 def _seeds_sql(n_cells: int) -> str:
@@ -346,11 +345,13 @@ def ann_ivf(df: DataFrame, query_vec_id: int, k: int = 10,
         for r in seeds
     )
     probes = [cell for _key, cell in by_cos[::-1][:nprobe]]
-    assign = ivf_assign(df, n_cells)
     cos = _dot_lit("embedding", q) / (_norm("embedding") * F.lit(qn))
+    # cell assignment inlined into the scan predicate: one scan, no join,
+    # no shuffle; with the table written partitioned by cell this becomes
+    # partition pruning to nprobe/n_cells of the data
     return (
-        df.join(assign, "vec_id")
-        .where(F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id))
+        df.where(_best_cell_expr(seeds).isin(probes)
+                 & (F.col("vec_id") != query_vec_id))
         .select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)

@@ -81,3 +81,31 @@ def test_tokenizer_stage_is_single_shuffle(spark, tmp_path_factory):
     plan = src.groupBy("segment_id").count()._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") <= 2  # groupBy partial+final only
+
+
+def test_ivf_assign_is_shuffle_free(spark):
+    """IVF cell assignment must be a single scan projection — the K
+    centroids are inlined literals, so no join and no exchange (at 100 TB
+    a K×N shuffle of cross-joined rows would dominate the job)."""
+    import numpy as np
+    from rucene_spark.ann import ivf_assign
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = _physical_plan(ivf_assign(df))
+    core = plan.split("Sort")[-1]  # below the presentation orderBy
+    assert "Join" not in core
+    assert "Exchange hashpartitioning" not in core
+
+
+def test_events_rollup_single_exchange(spark):
+    """The tumbling-window rollup is one partial-aggregated shuffle."""
+    import datetime
+    from rucene_spark.events import window_rollup
+    rows = [(i, datetime.datetime(2024, 1, 1, i % 24, 0, 0), i % 5,
+             "click", 1.0, "{}") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    plan = _physical_plan(window_rollup(df))
+    assert plan.count("Exchange hashpartitioning") == 1
