@@ -230,6 +230,29 @@ def q_sort_by_field(spark, sf_dir):
     return rows.select("doc_id", "n_chars")
 
 
+def q_dv_update_sort(spark, sf_dir):
+    # doc-values update-in-place (.dvu-overlay analogue): bump three docs'
+    # n_chars WITHOUT reindexing, in a PRIVATE index copy (the shared one
+    # must stay pristine for the other gates), then sort by the column
+    import shutil as _sh
+    import tempfile as _tf
+
+    from rucene_spark.merge import update_doc_values
+    from rucene_spark.query import MatchAllDocsQuery
+
+    src = _index_for(spark, sf_dir)  # ensure the shared index exists
+    priv = os.path.join(_tf.gettempdir(),
+                        "rucene_spark_dvu_" + sf_dir.rstrip("/").replace("/", "_"))
+    if os.path.isdir(priv):
+        _sh.rmtree(priv)
+    _sh.copytree(src.index_dir, priv)
+    update_doc_values(priv, "n_chars", {1: 7_000_001, 2: 7_000_002})
+    update_doc_values(priv, "n_chars", {2: 7_000_000})  # latest wins
+    s = IndexSearcher(spark, priv, scoring="precise")
+    rows = s.search_sorted(MatchAllDocsQuery(), [F.desc("n_chars")], 10)
+    return rows.select("doc_id", "n_chars")
+
+
 def q_early_term_sorted(spark, sf_dir):
     # EarlyTerminatingSortingCollector analogue: every segment contributes
     # at most its own top-k (window rank cutoff) BEFORE the global merge;
@@ -537,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count": q_range_count,
         "sort_by_field": q_sort_by_field,
         "early_term_sorted": q_early_term_sorted,
+        "dv_update_sort": q_dv_update_sort,
         "collapse_by_lang": q_collapse_by_lang,
         "rescore_topk": q_rescore_topk,
         "querystring_topk": q_querystring_topk,
@@ -818,6 +842,15 @@ SELECT d.doc_id, d.n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = '{T_LO}')
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+
+    sqls["dv_update_sort"] = """
+SELECT doc_id,
+       CASE WHEN doc_id = 1 THEN 7000001
+            WHEN doc_id = 2 THEN 7000000
+            ELSE n_chars END AS n_chars
+FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10
 """
 
     sqls["early_term_sorted"] = f"""

@@ -91,6 +91,38 @@ def delete_by_keys(index_dir: str, keys: list, gen: int | None = None) -> int:
     return len(keys)
 
 
+DV_UPDATES = "dv_updates"
+
+
+def update_doc_values(index_dir: str, col: str, updates: dict) -> int:
+    """Numeric doc-values update-in-place
+    (``IndexWriter::update_numeric_doc_value``, index_writer.rs — update a
+    per-doc value WITHOUT reindexing the document's text).
+
+    ``updates`` maps doc key → new numeric value. Like Lucene's ``.dvu``
+    generation files, updates land as an append-only overlay sidecar; the
+    searcher projects ``coalesce(overlay, stored)`` over docmeta at read
+    time, latest ``seq`` wins per (key, column). The postings/norms are
+    untouched — exactly the reference's contract (DV updates never change
+    scoring stats). Overlays are metadata-sized relative to the corpus
+    (they hold only touched keys), broadcast-joined at read; a segment
+    rewrite folding them in is a merge-time optimization, not a
+    correctness need."""
+    d = os.path.join(index_dir, DV_UPDATES)
+    storage.makedirs(d)
+    seq = sum(1 for f in storage.listdir(d) if f.endswith(".parquet"))
+    t = pa.table({
+        "key": pa.array([str(k) for k in updates], type=pa.string()),
+        "col": pa.array([col] * len(updates), type=pa.string()),
+        "val": pa.array([float(v) for v in updates.values()],
+                        type=pa.float64()),
+        "seq": pa.array([seq] * len(updates), type=pa.int64()),
+    })
+    storage.write_parquet(
+        t, os.path.join(d, f"dvu-{seq:06d}-{uuid.uuid4().hex[:8]}.parquet"))
+    return len(updates)
+
+
 def delete_by_query(spark: SparkSession, index_dir: str, query) -> int:
     """Delete every doc currently matching ``query``
     (index_writer.rs:485-510 delete_documents_by_queries analogue: the

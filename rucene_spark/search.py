@@ -138,6 +138,32 @@ class IndexSearcher:
         # directory discovery — a crashed merge's staged dirs are invisible
         self._postings = read_seg_table(spark, index_dir, m, "postings")
         self._docmeta = read_seg_table(spark, index_dir, m, "docmeta")
+        # doc-values update overlay (.dvu-generation analogue): project
+        # coalesce(latest overlay value, stored value) over docmeta —
+        # postings/norms/stats untouched, like the reference's DV updates
+        dv_dir = os.path.join(index_dir, "dv_updates")
+        if os.path.isdir(dv_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(dv_dir)):
+            ov = spark.read.parquet(dv_dir)
+            latest = Window.partitionBy("key", "col").orderBy(F.desc("seq"))
+            ov = (ov.withColumn("_rn", F.row_number().over(latest))
+                  .filter(F.col("_rn") == 1).drop("_rn", "seq"))
+            cols = [r["col"] for r in ov.select("col").distinct().collect()]
+            dtypes = dict(self._docmeta.dtypes)
+            for c in sorted(cols):
+                if c not in dtypes:
+                    raise KeyError(f"dv update for unknown column: {c}")
+                ovc = (ov.filter(F.col("col") == c)
+                       .select(F.col("key").alias("_ovk"),
+                               F.col("val").alias("_ovv")))
+                self._docmeta = (
+                    self._docmeta.join(
+                        F.broadcast(ovc),
+                        F.col(self.key_col).cast("string") == F.col("_ovk"),
+                        "left")
+                    .withColumn(c, F.coalesce(
+                        F.col("_ovv").cast(dtypes[c]), F.col(c)))
+                    .drop("_ovk", "_ovv"))
         self._term_stats = spark.read.parquet(
             os.path.join(index_dir, m.get("term_stats_dir", "term_stats")))
         # live docs: tombstones resolved to (seg, doc) once, anti-joined onto
@@ -212,6 +238,44 @@ class IndexSearcher:
             .orderBy(F.desc("score"), "seg", "doc")
         )
         return out
+
+    def search_with_timeout(self, query: Query, k: int = 10,
+                            timeout_s: float = 30.0) -> list:
+        """TimeoutCollector analogue (collector/timeout.rs:34-98): bound
+        the collection's wall clock. The reference's collector checks a
+        deadline between per-leaf collect calls; in a distributed engine
+        the natural cancellation unit is the JOB, so the search runs in
+        its own Spark job group and the deadline cancels the group
+        (interrupting running tasks). Raises ``TimeoutError`` on expiry —
+        partial results of a cancelled distributed collection are not
+        well-defined, so unlike the reference we surface the timeout
+        instead of returning a truncated (non-deterministic) hit list."""
+        import threading
+        import uuid as _uuid
+
+        sc = self.spark.sparkContext
+        gid = f"rucene-timeout-{_uuid.uuid4().hex[:8]}"
+        result: list = []
+        err: list = []
+
+        def run():
+            sc.setJobGroup(gid, "search_with_timeout", interruptOnCancel=True)
+            try:
+                result.extend(self.search(query, k).collect())
+            except Exception as e:  # cancelled jobs surface as Py4J errors
+                err.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            sc.cancelJobGroup(gid)
+            t.join(30.0)
+            raise TimeoutError(
+                f"search exceeded {timeout_s}s (job group {gid} cancelled)")
+        if err:
+            raise err[0]
+        return result
 
     def count(self, query: Query) -> int:
         # count fast paths apply only without deletes (searcher.rs:632-654)

@@ -158,3 +158,69 @@ def test_update_documents_replaces_by_key(spark, corpus, hi_mid, tmp_index):
     assert s2.count(MatchAllDocsQuery()) == len(corpus)
     assert [r["url"] for r in s2.search(TermQuery("text", "zupdated"), 5)
             .collect()] == [victim]
+
+
+def test_doc_values_update_in_place(spark, tmp_path_factory):
+    """update_doc_values overlays a numeric column without reindexing:
+    sorted search sees the new values, scoring stats stay untouched, and
+    the latest update per key wins (index_writer.rs
+    update_numeric_doc_value semantics via a .dvu-style overlay)."""
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.merge import update_doc_values
+    from rucene_spark.query import TermQuery
+    from rucene_spark.search import IndexSearcher
+
+    rows = [(i, f"common t{i:03d}", 100 + i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, rank long")
+    d = str(tmp_path_factory.mktemp("dvu_idx"))
+    IndexWriter(spark, d, n_segments=2, key_col="doc_id",
+                partitioner="range").build(df)
+
+    s0 = IndexSearcher(spark, d)
+    base = [r["doc_id"] for r in
+            s0.search_sorted(TermQuery("text", "common"),
+                             [__import__("pyspark.sql.functions",
+                                         fromlist=["desc"]).desc("rank")],
+                             6).collect()]
+    assert base == [5, 4, 3, 2, 1, 0]
+    base_scores = {r["doc_id"]: r["score"]
+                   for r in s0.search(TermQuery("text", "common"), 6).collect()}
+
+    update_doc_values(d, "rank", {0: 999.0, 5: 1.0})
+    update_doc_values(d, "rank", {5: 500.0})   # latest wins for key 5
+
+    s1 = IndexSearcher(spark, d)
+    from pyspark.sql import functions as F
+    got = [(r["doc_id"], r["rank"]) for r in
+           s1.search_sorted(TermQuery("text", "common"),
+                            [F.desc("rank")], 6).collect()]
+    assert got == [(0, 999), (5, 500), (4, 104), (3, 103), (2, 102), (1, 101)]
+    # scoring is untouched by DV updates
+    new_scores = {r["doc_id"]: r["score"]
+                  for r in s1.search(TermQuery("text", "common"), 6).collect()}
+    assert new_scores == base_scores
+
+
+def test_search_with_timeout(spark, tmp_path_factory):
+    """Generous deadline returns exactly search()'s rows; an impossible
+    deadline raises TimeoutError (TimeoutCollector analogue via job-group
+    cancellation)."""
+    import pytest as _pytest
+
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.query import TermQuery
+    from rucene_spark.search import IndexSearcher
+
+    rows = [(i, f"shared t{i:03d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("to_idx"))
+    IndexWriter(spark, d, n_segments=2, key_col="doc_id",
+                partitioner="range").build(df)
+    s = IndexSearcher(spark, d)
+    q = TermQuery("text", "shared")
+    normal = [(r["doc_id"], r["score"]) for r in s.search(q, 5).collect()]
+    timed = [(r["doc_id"], r["score"]) for r in
+             s.search_with_timeout(q, 5, timeout_s=120.0)]
+    assert timed == normal
+    with _pytest.raises(TimeoutError):
+        s.search_with_timeout(q, 5, timeout_s=0.0001)
