@@ -422,7 +422,12 @@ class IndexWriter:
         stats are re-aggregated over all segments.
         """
         m = load_manifest(self.index_dir)
-        base = max(s["segment_id"] for s in m["segments"]) + 1
+        # allocate NEW ids from the monotone counter (never the current
+        # max — a merge can shrink max below a previously used id, and a
+        # reused id would match its predecessor's stale resume marker)
+        base = int(m.get(
+            "segment_counter",
+            max(s["segment_id"] for s in m["segments"]) + 1))
         n_new = n_segments or self.n_segments
 
         # same stored-column projection as build() — delta segments must
@@ -454,6 +459,7 @@ class IndexWriter:
 
         m["segments"] = m["segments"] + new_rows
         m["gen_counter"] = gen
+        m["segment_counter"] = base + n_new
         m["doc_count"] = int(sum(s["docs"] for s in m["segments"]))
         # authoritative recompute over all segments' stat partials
         field_stats, ts_name = write_term_stats(
@@ -528,6 +534,12 @@ class IndexWriter:
             "n_segments": self.n_segments,
             "doc_count": doc_count,
             "gen_counter": 0,
+            # monotone id source (SegmentInfos.counter): segment ids are
+            # NEVER reused, even after merges shrink the live id set —
+            # reuse would let a stale resume marker resurrect a manifest
+            # row whose data dirs a merge already folded away and GC'd
+            "segment_counter": (max(r["segment_id"] for r in seg_rows) + 1
+                                if seg_rows else 0),
             "segments": seg_rows,
         }
         field_stats, ts_name = write_term_stats(

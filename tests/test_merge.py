@@ -371,3 +371,83 @@ def test_phrase_positions_survive_merge_with_deletes(spark, corpus, tmp_index):
     s1 = IndexSearcher(spark, tmp_index)
     after_urls = [r["url"] for r in s1.search(q, 20).collect()]
     assert after_urls == [u for u, _ in before]
+
+
+def test_randomized_maintenance_sequence(spark, tmp_path_factory):
+    """Seeded fuzz of the maintenance surface: a random interleaving of
+    add_documents / delete_by_keys / update_documents / maybe_merge must
+    keep the searcher's LIVE view (hit sets + counts) equal to a plain
+    Python model of latest-version-per-key minus deletes, at every step.
+    (Scores are deliberately not compared: collection stats stay stale
+    until merges fold deletes out, exactly like Lucene.)"""
+    import numpy as np
+
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.merge import (TieredMergePolicy, delete_by_keys,
+                                    maybe_merge)
+    from rucene_spark.query import MatchAllDocsQuery, TermQuery
+    from rucene_spark.search import IndexSearcher
+
+    rng = np.random.default_rng(11)
+    probes = [f"m{j}" for j in range(4)]
+
+    def text_for(key, version):
+        toks = ["base"] + [p for j, p in enumerate(probes)
+                           if (key + version + j) % 3 == 0] + [f"v{version}"]
+        return " ".join(toks)
+
+    d = str(tmp_path_factory.mktemp("fuzz_maint"))
+    expected = {i: text_for(i, 0) for i in range(30)}
+    versions = {i: 0 for i in range(30)}
+    writer = IndexWriter(spark, d, n_segments=4, key_col="doc_id")
+    writer.build(spark.createDataFrame(
+        [(k, t) for k, t in expected.items()], "doc_id long, text string"))
+    next_key = 30
+
+    def check():
+        s = IndexSearcher(spark, d)
+        assert s.count(MatchAllDocsQuery()) == len(expected)
+        for p in probes:
+            want = {k for k, t in expected.items() if p in t.split(" ")}
+            got = {r["doc_id"] for r in
+                   s.search(TermQuery("text", p), 1000).collect()}
+            assert got == want, (p, got ^ want)
+
+    for step in range(8):
+        op = int(rng.integers(0, 4))
+        if op == 0:                                   # add new docs
+            batch = {}
+            for _ in range(int(rng.integers(2, 6))):
+                batch[next_key] = text_for(next_key, 0)
+                versions[next_key] = 0
+                next_key += 1
+            expected.update(batch)
+            writer.add_documents(spark.createDataFrame(
+                [(k, t) for k, t in batch.items()],
+                "doc_id long, text string"), n_segments=1)
+        elif op == 1 and expected:                    # delete some keys
+            keys = list(rng.choice(sorted(expected), size=min(
+                int(rng.integers(1, 4)), len(expected)), replace=False))
+            for k in keys:
+                expected.pop(int(k))
+            delete_by_keys(d, [int(k) for k in keys])
+        elif op == 2 and expected:                    # update (new version)
+            keys = [int(k) for k in rng.choice(
+                sorted(expected), size=min(2, len(expected)), replace=False)]
+            batch = {}
+            for k in keys:
+                versions[k] += 1
+                batch[k] = text_for(k, versions[k])
+            expected.update(batch)
+            writer.update_documents(spark.createDataFrame(
+                [(k, t) for k, t in batch.items()],
+                "doc_id long, text string"), n_segments=1)
+        else:                                         # merge to quiescence
+            maybe_merge(spark, d, TieredMergePolicy(
+                floor_segment_bytes=1 << 30, segs_per_tier=2.0,
+                max_merge_at_once=4))
+        check()
+
+    maybe_merge(spark, d, TieredMergePolicy(
+        floor_segment_bytes=1 << 30, segs_per_tier=2.0, max_merge_at_once=4))
+    check()

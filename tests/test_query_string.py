@@ -132,3 +132,25 @@ def test_mismatched_paren_raises():
 def test_empty_raises():
     with pytest.raises(ValueError):
         QueryStringQueryBuilder("", [("t", 1.0)]).build()
+
+
+def test_parser_fuzz_never_crashes():
+    """Seeded fuzz: arbitrary query strings (operators, quotes, carets,
+    parens, CJK, control chars) must parse to SOME query or raise a clean
+    ValueError — never an unhandled exception (query_string.rs returns
+    Result; user-facing parsers cannot panic)."""
+    import numpy as np
+
+    from rucene_spark.query import QueryStringQueryBuilder
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abc ()+|\"^~0123.5 搜索引擎 \t") + ["  ", "t0", "^2", "~1"]
+    for i in range(300):
+        n = int(rng.integers(0, 12))
+        s = "".join(alphabet[int(rng.integers(len(alphabet)))]
+                    for _ in range(n))
+        try:
+            q = QueryStringQueryBuilder(s, [("text", 1.0)]).build()
+        except ValueError:
+            continue
+        assert q is not None
