@@ -330,14 +330,19 @@ class SegmentMerger:
                        <= F.col("_tg")))
                 .select("seg", "doc").distinct()
             )
-            del_dir = os.path.join(
-                self.index_dir, f"tmpstage-dels-{token}")
-            hit.write.partitionBy("seg").parquet(del_dir)
             del_counts = {
                 int(r["seg"]): int(r["n"])
-                for r in self.spark.read.parquet(del_dir)
-                .groupBy("seg").agg(F.count("*").alias("n")).collect()
+                for r in hit.groupBy("seg").agg(
+                    F.count("*").alias("n")).collect()
             }
+            if del_counts:
+                del_dir = os.path.join(
+                    self.index_dir, f"tmpstage-dels-{token}")
+                hit.write.partitionBy("seg").parquet(del_dir)
+            # else: tombstones exist but none hit this run (e.g. all are
+            # gen-scoped to other segments) — no side parquet to stage
+            # (an empty partitioned write leaves a schema-less dir that
+            # cannot be read back)
         n_deleted = int(sum(del_counts.values()))
 
         # --- per-seg doc offsets over live docs, in run order

@@ -451,3 +451,28 @@ def test_randomized_maintenance_sequence(spark, tmp_path_factory):
     maybe_merge(spark, d, TieredMergePolicy(
         floor_segment_bytes=1 << 30, segs_per_tier=2.0, max_merge_at_once=4))
     check()
+
+
+def test_merge_with_tombstones_that_miss_the_run(spark, tmp_path_factory):
+    """Tombstones exist but none hit the merged run (the deleted key lives
+    only in a delta segment outside it): the merge must succeed (an empty
+    deleted-docs side parquet is never staged), and the tombstone must
+    SURVIVE to keep hiding the outside doc."""
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.merge import SegmentMerger, delete_by_keys
+    from rucene_spark.query import MatchAllDocsQuery
+    from rucene_spark.search import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("miss_run"))
+    base = [(i, f"base b{i}") for i in range(10)]
+    writer = IndexWriter(spark, d, n_segments=2, key_col="doc_id",
+                         partitioner="range")
+    writer.build(spark.createDataFrame(base, "doc_id long, text string"))
+    writer.add_documents(spark.createDataFrame(
+        [(100, "delta only")], "doc_id long, text string"), n_segments=1)
+    delete_by_keys(d, [100])          # hits only the delta segment
+
+    assert IndexSearcher(spark, d).count(MatchAllDocsQuery()) == 10
+    SegmentMerger(spark, d).merge([0, 1])   # run = the two base segments
+    s = IndexSearcher(spark, d)
+    assert s.count(MatchAllDocsQuery()) == 10   # 100 still hidden
