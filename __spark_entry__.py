@@ -46,6 +46,7 @@ from rucene_spark.query import (
     PhraseQuery,
     QueryStringQueryBuilder,
     RangeQuery,
+    SpanBoostQuery,
     SpanNearQuery,
     SpanTermQuery,
     TermQuery,
@@ -361,6 +362,18 @@ def q_span_near_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_span_boost_topk(spark, sf_dir):
+    # SpanBoostQuery (span_boost.rs:38-60): the boost multiplies the span
+    # tree's similarity weight (normalize's b = boost * self.boost,
+    # span_boost.rs:290-291); matching is identical to the wrapped span.
+    s = _index_for(spark, sf_dir)
+    q = SpanBoostQuery(
+        SpanNearQuery([SpanTermQuery("text", PH_A), SpanTermQuery("text", PH_B)],
+                      slop=3, in_order=True),
+        boost=2.5)
+    return _topk_out(s.search(q, 10))
+
+
 def q_multifield_topk(spark, sf_dir):
     # per-field boosted expansion (query_string.rs:198-249): the term is
     # searched in BOTH fields, each scored against its own field stats
@@ -565,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "querystring_topk": q_querystring_topk,
         "span_near_topk": q_span_near_topk,
+        "span_boost_topk": q_span_boost_topk,
         "multifield_topk": q_multifield_topk,
         "per_field_sim_topk": q_per_field_sim_topk,
         "min_score_topk": q_min_score_topk,
@@ -908,7 +922,8 @@ ORDER BY grp.gscore + coalesce(hi.score, 0.0) DESC, grp.doc_id LIMIT 10
     # ordered span near: per occurrence pa of A, the matching B span is
     # min{pb >= pa+1}; width = pb-pa-1; freq = f32-fold of 1/(1+width)
     # over matches in pa order (REAL casts emulate the f32 accumulation)
-    sqls["span_near_topk"] = f"""
+    def _span_near_sql(boost: str) -> str:
+        return f"""
 WITH tokpos AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS term,
@@ -954,16 +969,21 @@ dfs AS (
           WHERE term IN ('{PH_A}', '{PH_B}') GROUP BY term) x, st)
 )
 SELECT freqs.doc_id,
-       round(dfs.idf * 2.2 * freqs.freq::DOUBLE
+       round(dfs.idf * {boost} * 2.2 * freqs.freq::DOUBLE
              / (freqs.freq::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)),
              6) AS score
 FROM freqs JOIN dl ON dl.doc_id = freqs.doc_id, st, dfs
 WHERE freqs.freq > 0
-ORDER BY dfs.idf * 2.2 * freqs.freq::DOUBLE
+ORDER BY dfs.idf * {boost} * 2.2 * freqs.freq::DOUBLE
          / (freqs.freq::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
          DESC, freqs.doc_id
 LIMIT 10
 """
+
+    # multiplying idf by 1.0 is exact in f64 — one template serves both
+    sqls["span_near_topk"] = _span_near_sql("1.0")
+    # boosted span: engine computes (idf * boost) * 2.2 left-assoc, ditto
+    sqls["span_boost_topk"] = _span_near_sql("2.5")
 
     # two-field BM25: title = first 5 tokens of text, its own df/avgdl/dl;
     # title clause boost 2.0 folded as (idf * 2.0) * 2.2 * ... (engine op

@@ -36,7 +36,7 @@ from pyspark.sql import SparkSession
 
 
 def _timed(fn, reps: int) -> tuple[float, float]:
-    """(median, p99~max) seconds over ``reps`` runs after one warm-up."""
+    """(median, max) seconds over ``reps`` runs after one warm-up."""
     fn()  # warm-up
     times = []
     for _ in range(reps):
@@ -148,11 +148,11 @@ def main() -> None:
                 [t_hi, t_mid, t_lo], 10
             ).collect()
 
-        queries_p99: dict[str, float] = {}
+        queries_max: dict[str, float] = {}
         for name, fn in bench_queries.items():
-            med, p99 = _timed(fn, reps)
+            med, mx = _timed(fn, reps)
             queries[name] = round(med, 4)
-            queries_p99[name] = round(p99, 4)
+            queries_max[name] = round(mx, 4)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -163,7 +163,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
-        "queries_p99": queries_p99,
+        "queries_max": queries_max,
         "sf": sf,
         "doc_count": n_docs,
         "index_docs_per_sec": round(n_docs / build_secs, 2),

@@ -297,6 +297,65 @@ def tokenize_factorized(texts, mode: str = "whitespace"):
     return di, codes, uniques, pos
 
 
+def parse_synonym_mode(mode: str) -> dict[str, list[str]]:
+    """Parse ``synonym:src=syn1|syn2,src2=syn3`` into a mapping. The base
+    tokenizer is whitespace; every occurrence of ``src`` additionally
+    emits each synonym at the SAME position (pos_incr = 0 overlap
+    tokens, analysis/mod.rs:32-52 Token.position semantics)."""
+    spec = mode[len("synonym:"):]
+    syn: dict[str, list[str]] = {}
+    for part in spec.split(","):
+        src, sep, tgt = part.partition("=")
+        if not sep or not src or not tgt:
+            raise ValueError(f"bad synonym spec segment: {part!r}")
+        syn[src] = tgt.split("|")
+    return syn
+
+
+def tokenize_factorized_overlap(texts, mode: str = "whitespace"):
+    """:func:`tokenize_factorized` plus an ``overlap`` mask — the
+    position-increment channel of the reference's token stream
+    (doc_consumer.rs:906-926): a token with ``pos_incr == 0`` shares the
+    previous token's position and counts toward ``num_overlap``, which is
+    EXCLUDED from the field length used for norms
+    (bm25_similarity.rs:86, ``num_terms = length - num_overlap``).
+
+    Returns ``(doc_idx, codes, uniques, positions, overlap)`` where
+    ``overlap`` is None for analyzers that cannot emit overlaps (the
+    shipped whitespace/standard modes) and a bool array otherwise."""
+    if not mode.startswith("synonym:"):
+        di, codes, uniques, pos = tokenize_factorized(texts, mode)
+        return di, codes, uniques, pos, None
+    syn = parse_synonym_mode(mode)
+    di, codes, uniques, pos = tokenize_factorized(texts, "whitespace")
+    extra = sorted({s for vs in syn.values() for s in vs})
+    if not extra or uniques.size == 0:
+        return di, codes, uniques, pos, np.zeros(di.size, dtype=bool)
+    vocab = np.unique(np.concatenate(
+        [uniques, np.asarray(extra, dtype=object)]))
+    codes = np.searchsorted(vocab, uniques)[codes] if di.size else codes
+    add_di, add_codes, add_pos = [di], [codes], [pos]
+    for src, targets in sorted(syn.items()):
+        hit = int(np.searchsorted(vocab, src))
+        if hit >= vocab.size or vocab[hit] != src:
+            continue
+        src_occ = np.flatnonzero(codes == hit)
+        if src_occ.size == 0:
+            continue
+        for t in targets:
+            t_code = int(np.searchsorted(vocab, t))
+            add_di.append(di[src_occ])
+            add_codes.append(np.full(src_occ.size, t_code, dtype=np.int64))
+            add_pos.append(pos[src_occ])
+    n_base = di.size
+    di = np.concatenate(add_di)
+    codes = np.concatenate(add_codes)
+    pos = np.concatenate(add_pos)
+    overlap = np.zeros(di.size, dtype=bool)
+    overlap[n_base:] = True
+    return di, codes, vocab, pos, overlap
+
+
 def _factorize_sorted(terms: np.ndarray):
     import pandas as pd
 

@@ -275,15 +275,19 @@ def _seed_centroids(df: DataFrame, n_cells: int) -> DataFrame:
 def _best_cell_expr(seeds: list) -> "F.Column":
     """Inline argmax-cosine over the K collected centroids: one struct
     per cell (score, -cell, cell), array_max picks (max score, then
-    smallest cell). The common 1/|v| factor is dropped — it cannot change
-    the per-row argmax — so the whole assignment is a single projection:
+    smallest cell). The score is the FULL cosine — dot/(|v|·|c|) — even
+    though the common 1/|v| factor cannot change the per-row argmax:
+    the DuckDB oracle divides by both norms, and per-comparison
+    arithmetic must be bit-aligned across engines or rounding can flip
+    near-tie cell choices (round-2 ADVICE). Still a single projection:
     ZERO shuffles, no join (the centroids are literals, the way a real
     IVF broadcasts its trained quantizer)."""
     entries = []
+    vnorm = _norm("embedding")
     for r in sorted(seeds, key=lambda r: int(r["cell"])):
         c = [float(x) for x in r["cemb"]]
         cn = sum(v * v for v in c) ** 0.5
-        score = _dot_lit("embedding", c) / F.lit(cn)
+        score = _dot_lit("embedding", c) / (vnorm * F.lit(cn))
         entries.append(F.struct(score.alias("s"),
                                 F.lit(-int(r["cell"])).alias("nc"),
                                 F.lit(int(r["cell"])).alias("cell")))

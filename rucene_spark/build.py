@@ -51,7 +51,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import storage
-from .analysis import tokenize_factorized
+from .analysis import tokenize_factorized_overlap
 from .bm25 import TERM_FREQ_LIMIT
 from .codec import BLOCK_SIZE, for_encode, varint_encode_sized
 from .smallfloat import encode_norm_value
@@ -135,12 +135,18 @@ def _invert_segment(
 def _invert_field(
     texts: list, n_docs: int, fname: str, analyzer: str
 ) -> tuple[pd.DataFrame, pd.DataFrame, np.ndarray, np.ndarray]:
-    """Invert one field of one segment → (postings, segstats, lens, norms)."""
-    di, codes, uniques, pos = tokenize_factorized(texts, mode=analyzer)
+    """Invert one field of one segment → (postings, segstats, lens, norms).
+
+    Overlap tokens (pos_incr = 0, e.g. synonym expansions) index and match
+    like any other token but are EXCLUDED from the field length used for
+    norms/dl (doc_consumer.rs:906-926 ``num_overlap``;
+    bm25_similarity.rs:86 ``num_terms = length - num_overlap``)."""
+    di, codes, uniques, pos, overlap = tokenize_factorized_overlap(
+        texts, mode=analyzer)
 
     lens = np.zeros(n_docs, dtype=np.int64)
     if di.size:
-        np.add.at(lens, di, 1)
+        np.add.at(lens, di if overlap is None else di[~overlap], 1)
     norm_bytes = encode_norm_value(1.0, np.maximum(lens, 1)).astype(np.int64)
     norm_bytes[lens == 0] = 0
 

@@ -249,6 +249,66 @@ def batch_unpack_positions(bufs: list, tfs: np.ndarray) -> tuple[np.ndarray, np.
     return cum - np.cumsum(expand), tfs
 
 
+def batch_pack_ints(vals: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Per-row :func:`pack_ints` over a concatenated value stream —
+    bit-identical to ``[pack_ints(row_vals) for row_vals in rows]`` but
+    with ONE vectorized varint pass for every partial row (the encode-side
+    mirror of :func:`batch_unpack`; build.py's ``encode_stream`` is the
+    same idea specialized to the segment builder's layout). Full 128-value
+    rows still FOR-encode individually (one numpy call each — the loop is
+    over blocks, not values)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.uint64)
+    n = counts.size
+    out: list[bytes] = [b""] * n
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    full = counts == BLOCK_SIZE
+    part = np.flatnonzero(~full)
+    if part.size:
+        pmask = np.repeat(~full, counts)
+        buf, nbytes = varint_encode_sized(vals[pmask])
+        raw = buf.tobytes()
+        pcounts = counts[part]
+        pends = np.cumsum(pcounts)
+        pstarts = pends - pcounts
+        byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+        for j in range(part.size):
+            out[part[j]] = b"V" + raw[byte_off[pstarts[j]]:byte_off[pends[j]]]
+    for r in np.flatnonzero(full):
+        out[r] = b"F" + for_encode(vals[starts[r]:starts[r] + BLOCK_SIZE])
+    return out
+
+
+def batch_pack_positions(flat_pos: np.ndarray, tfs: np.ndarray,
+                         docs_per_row: np.ndarray) -> list[bytes]:
+    """Per-row :func:`pack_positions` bytes from one concatenated position
+    stream: ``tfs`` gives each doc's (capped) position count, and
+    ``docs_per_row`` slices the doc sequence into rows (blocks). One
+    delta pass + one vectorized varint pass for the whole stream, then
+    per-row byte slicing — bit-identical to calling ``pack_positions`` on
+    each row's positions/tfs."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    p = np.asarray(flat_pos, dtype=np.uint64)
+    deltas = np.empty_like(p)
+    if p.size:
+        deltas[0] = p[0]
+        deltas[1:] = p[1:] - p[:-1]
+        doc_starts = np.cumsum(tfs) - tfs
+        nz = tfs > 0
+        deltas[doc_starts[nz]] = p[doc_starts[nz]]
+    buf, nbytes = varint_encode_sized(deltas)
+    raw = buf.tobytes()
+    docs_per_row = np.asarray(docs_per_row, dtype=np.int64)
+    row_doc_ends = np.cumsum(docs_per_row)
+    row_doc_starts = row_doc_ends - docs_per_row
+    pos_prefix = np.concatenate(([0], np.cumsum(tfs)))
+    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+    lo = byte_off[pos_prefix[row_doc_starts]]
+    hi = byte_off[pos_prefix[row_doc_ends]]
+    return [raw[lo[r]:hi[r]] for r in range(docs_per_row.size)]
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """First value kept absolute, rest are gaps (posting_writer.rs:304-330)."""
     v = np.asarray(sorted_vals, dtype=np.uint64)

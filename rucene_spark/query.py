@@ -330,9 +330,32 @@ class SpanGapQuery(SpanQuery):
         return f"SpanGapQuery(field: {self.field}, width: {self.width})"
 
 
+@dataclass
+class SpanBoostQuery(SpanQuery):
+    """Counterpart of BoostQuery for spans (span_boost.rs:38-60): wraps a
+    span query and multiplies the boost flowing into the span tree's
+    similarity weight (``normalize``'s ``b = boost * self.boost``,
+    span_boost.rs:290-291). Matching is untouched; nested inside another
+    span query it is a scoring no-op, exactly like the reference (inner
+    span weights are built with ``needs_scores=false``,
+    span_boost.rs:70-76)."""
+
+    query: SpanQuery
+    boost: float = 1.0
+
+    @property
+    def field(self) -> str:
+        return self.query.field
+
+    def __str__(self) -> str:
+        return f"SpanBoostQuery(query: {self.query}, boost: {self.boost})"
+
+
 def span_spec(q: SpanQuery, ti_of: dict) -> tuple:
     """Compile a span query tree to the kernel spec (spans.py), mapping
     terms through ``ti_of``."""
+    if isinstance(q, SpanBoostQuery):
+        return span_spec(q.query, ti_of)  # boost never affects matching
     if isinstance(q, SpanTermQuery):
         return ("term", ti_of[q.term])
     if isinstance(q, SpanOrQuery):
@@ -348,6 +371,8 @@ def span_spec(q: SpanQuery, ti_of: dict) -> tuple:
 def span_terms(q: SpanQuery) -> list[str]:
     """Distinct terms of a span tree in depth-first order (the order the
     combined idf weight is f32-accumulated in; SpanWeight term extraction)."""
+    if isinstance(q, SpanBoostQuery):
+        return span_terms(q.query)
     if isinstance(q, SpanTermQuery):
         return [q.term]
     if isinstance(q, (SpanOrQuery, SpanNearQuery)):

@@ -148,3 +148,42 @@ def test_batch_unpack_positions_matches_per_block():
     exp = (np.concatenate(want) if sum(len(w) for w in want) else
            np.empty(0, dtype=np.int64))
     assert (flat_pos == exp).all()
+
+
+def test_batch_pack_ints_matches_per_block():
+    from rucene_spark.codec import batch_pack_ints
+
+    rng = np.random.default_rng(17)
+    rows, counts = [], []
+    for _ in range(60):
+        n = int(rng.integers(1, BLOCK_SIZE + 1))
+        rows.append(rng.integers(0, 1 << 24, n).astype(np.uint64))
+        counts.append(n)
+    # include all-equal full blocks (ALL_VALUES_EQUAL path)
+    rows.append(np.full(BLOCK_SIZE, 7, dtype=np.uint64))
+    counts.append(BLOCK_SIZE)
+    got = batch_pack_ints(np.concatenate(rows), np.array(counts))
+    want = [pack_ints(r) for r in rows]
+    assert got == want
+
+
+def test_batch_pack_positions_matches_per_block():
+    from rucene_spark.codec import batch_pack_positions
+
+    rng = np.random.default_rng(23)
+    all_pos, all_tfs, docs_per_row, want = [], [], [], []
+    for _ in range(40):
+        n_docs = int(rng.integers(1, 40))
+        tfs = rng.integers(0, 6, n_docs).astype(np.int64)
+        pos_lists = [np.sort(rng.choice(500, size=t, replace=False))
+                     for t in tfs]
+        flat = (np.concatenate(pos_lists).astype(np.uint64) if tfs.sum()
+                else np.empty(0, dtype=np.uint64))
+        want.append(pack_positions(flat, tfs))
+        all_pos.append(flat)
+        all_tfs.append(tfs)
+        docs_per_row.append(n_docs)
+    got = batch_pack_positions(
+        np.concatenate(all_pos), np.concatenate(all_tfs),
+        np.array(docs_per_row))
+    assert got == want

@@ -201,6 +201,50 @@ def test_doc_values_update_in_place(spark, tmp_path_factory):
     assert new_scores == base_scores
 
 
+def test_doc_values_update_is_gen_scoped(spark, tmp_path_factory):
+    """A DV update only applies to segments committed at or before it
+    (bufferd_updates.rs del_gen scoping): a doc re-added with the same key
+    AFTER the update must NOT inherit the stale overlay value, while docs
+    from older segments still see it. A merge folds the applicable overlay
+    physically into the merged docmeta, so the values survive the merged
+    segment's higher generation."""
+    from pyspark.sql import functions as F
+
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.merge import force_merge, update_doc_values
+    from rucene_spark.query import TermQuery
+    from rucene_spark.search import IndexSearcher
+
+    rows = [(i, f"common t{i:03d}", 100 + i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, rank long")
+    d = str(tmp_path_factory.mktemp("dvu_gen_idx"))
+    w = IndexWriter(spark, d, n_segments=2, key_col="doc_id",
+                    partitioner="range")
+    w.build(df)
+
+    update_doc_values(d, "rank", {0: 999.0, 3: 888.0})
+    # delete-then-readd key 3 with a NEW stored rank: the re-added doc
+    # lives in a higher-gen delta segment the update cannot touch
+    w.update_documents(spark.createDataFrame(
+        [(3, "common zrefreshed", 42)],
+        "doc_id long, text string, rank long"))
+
+    def ranks(searcher):
+        return {r["doc_id"]: r["rank"] for r in
+                searcher.search_sorted(TermQuery("text", "common"),
+                                       [F.desc("rank")], 10).collect()}
+
+    got = ranks(IndexSearcher(spark, d))
+    assert got[0] == 999       # old segment: overlay applies
+    assert got[3] == 42        # re-added doc: stale overlay must NOT apply
+    assert got[5] == 105
+
+    # merge folds the overlay physically; values unchanged afterwards
+    force_merge(spark, d)
+    got2 = ranks(IndexSearcher(spark, d))
+    assert got2 == got
+
+
 def test_search_with_timeout(spark, tmp_path_factory):
     """Generous deadline returns exactly search()'s rows; an impossible
     deadline raises TimeoutError (TimeoutCollector analogue via job-group
