@@ -497,6 +497,25 @@ def q_ann_ivf(spark, sf_dir):
     return ann.ann_ivf(_emb(spark, sf_dir), 7)
 
 
+_IVF_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_part(spark, sf_dir):
+    # the production IVF path (broadcast numpy quantizer + cell-PARTITIONED
+    # parquet layout, probe = partition pruning); assignment is
+    # value-identical to the literal-expression gate quantizer
+    # (tests/test_ivf.py), so the same SQL oracle applies
+    if sf_dir not in _IVF_CACHE:
+        d = os.path.join(tempfile.gettempdir(),
+                         "rucene_spark_ivf_" + sf_dir.rstrip("/").replace("/", "_"))
+        ann.ivf_build(_emb(spark, sf_dir), d, n_cells=ann.N_CELLS)
+        _IVF_CACHE[sf_dir] = d
+    qrow = _emb(spark, sf_dir).filter(F.col("vec_id") == 7)         .select("embedding").first()
+    return ann.ivf_search(spark, _IVF_CACHE[sf_dir],
+                          [float(x) for x in qrow[0]],
+                          k=10, nprobe=ann.N_PROBE, exclude_vec_id=7)
+
+
 def q_clean_corpus(spark, sf_dir):
     from rucene_spark import pipeline as _pipeline
     return _pipeline.clean_corpus(_docs(spark, sf_dir))
@@ -609,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ivf_assign": q_ivf_assign,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_part": q_ann_ivf_part,
         "clean_corpus": q_clean_corpus,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
@@ -1153,6 +1173,7 @@ ORDER BY score DESC, sc.doc_id LIMIT 10
     sqls["dedup_clusters"] = dedup.dedup_clusters_sql()
     sqls["ivf_assign"] = ann.ivf_assign_sql()
     sqls["ann_ivf"] = ann.ann_ivf_sql(7)
+    sqls["ann_ivf_part"] = ann.ann_ivf_sql(7)
     from rucene_spark import pipeline as _pipeline
     sqls["clean_corpus"] = _pipeline.clean_corpus_sql()
     from rucene_spark import events as _events_mod

@@ -297,6 +297,52 @@ def tokenize_factorized(texts, mode: str = "whitespace"):
     return di, codes, uniques, pos
 
 
+def standard_tokenize_offsets(text: str) -> list[tuple[str, int, int]]:
+    """``standard_tokenize`` with character offsets: ``(term, start, end)``
+    per token. Offsets refer to the ORIGINAL text (the token itself is
+    lowercased/capped), which is exactly why offset-based highlighting
+    needs them — standard tokens are not substring-recoverable."""
+    return [(m.group(0).lower()[:255], m.start(), m.end())
+            for m in _WORD_RE.finditer(text)]
+
+
+def batch_tokenize_offsets(texts, mode: str = "whitespace"):
+    """Tokenize a batch WITH character offsets → flat numpy arrays
+    ``(doc_idx, terms, positions, starts, ends)``.
+
+    The offsets channel of the reference's token stream
+    (``Token.start_offset``/``end_offset``, analysis/mod.rs:32-52;
+    ``IndexOptions::DocsAndFreqsAndPositionsAndOffsets``,
+    index_options.rs:18-24). Used only when the index opts into stored
+    offsets — the offset-free factorized path stays the build hot path."""
+    doc_idx, all_terms, all_pos, all_s, all_e = [], [], [], [], []
+    for i, text in enumerate(texts):
+        if text is None:
+            continue
+        if mode == "whitespace":
+            toks = [(t, s, e) for (t, _, s, e) in whitespace_tokenize(text)]
+        elif mode == "standard":
+            toks = standard_tokenize_offsets(text)
+        else:
+            raise ValueError(
+                f"analyzer mode {mode!r} does not produce offsets")
+        if not toks:
+            continue
+        k = len(toks)
+        doc_idx.append(np.full(k, i, dtype=np.int64))
+        all_terms.append(np.asarray([t for t, _, _ in toks], dtype=object))
+        all_pos.append(np.arange(k, dtype=np.int64))
+        all_s.append(np.asarray([s for _, s, _ in toks], dtype=np.int64))
+        all_e.append(np.asarray([e for _, _, e in toks], dtype=np.int64))
+    if not doc_idx:
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, np.empty(0, dtype=object), empty.copy(),
+                empty.copy(), empty.copy())
+    return (np.concatenate(doc_idx), np.concatenate(all_terms),
+            np.concatenate(all_pos), np.concatenate(all_s),
+            np.concatenate(all_e))
+
+
 def parse_synonym_mode(mode: str) -> dict[str, list[str]]:
     """Parse ``synonym:src=syn1|syn2,src2=syn3`` into a mapping. The base
     tokenizer is whitespace; every occurrence of ``src`` additionally

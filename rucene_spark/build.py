@@ -61,7 +61,7 @@ MANIFEST = "manifest.json"
 _MANIFEST_ROW_SCHEMA = (
     "segment_id long, status string, docs long, terms long, blocks long, "
     "postings long, ttf long, build_secs double, min_key string, "
-    "max_key string, dir string"
+    "max_key string, dir string, bytes long"
 )
 
 _POSTINGS_PA_SCHEMA = pa.schema(
@@ -82,12 +82,14 @@ _POSTINGS_PA_SCHEMA = pa.schema(
         ("norms_bin", pa.binary()),
         ("dls_bin", pa.binary()),
         ("pos_bin", pa.binary()),
+        ("offs_bin", pa.binary()),
     ]
 )
 
 
 def _invert_segment(
-    pdf: pd.DataFrame, fields: list, key_col: str, analyzer: str
+    pdf: pd.DataFrame, fields: list, key_col: str, analyzer: str,
+    index_offsets: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Pure-numpy inversion of one segment → (postings, docmeta, segstats).
 
@@ -112,7 +114,7 @@ def _invert_segment(
     # (field, term) for parquet row-group pruning
     for fname, col in sorted(fields):
         postings_f, stats_f, lens, norm_bytes = _invert_field(
-            pdf[col].tolist(), n_docs, fname, analyzer)
+            pdf[col].tolist(), n_docs, fname, analyzer, index_offsets)
         suffix = "" if fname == field_names[0] else f"_{fname}"
         docmeta[f"doc_len{suffix}"] = lens
         docmeta[f"norm_byte{suffix}"] = norm_bytes
@@ -133,7 +135,8 @@ def _invert_segment(
 
 
 def _invert_field(
-    texts: list, n_docs: int, fname: str, analyzer: str
+    texts: list, n_docs: int, fname: str, analyzer: str,
+    index_offsets: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame, np.ndarray, np.ndarray]:
     """Invert one field of one segment → (postings, segstats, lens, norms).
 
@@ -141,8 +144,20 @@ def _invert_field(
     like any other token but are EXCLUDED from the field length used for
     norms/dl (doc_consumer.rs:906-926 ``num_overlap``;
     bm25_similarity.rs:86 ``num_terms = length - num_overlap``)."""
-    di, codes, uniques, pos, overlap = tokenize_factorized_overlap(
-        texts, mode=analyzer)
+    if index_offsets:
+        # offsets channel (IndexOptions::DocsAndFreqsAndPositionsAndOffsets,
+        # index_options.rs:18-24): per-token char offsets ride along the
+        # stream and land in a per-block `offs_bin` sidecar; the
+        # offset-free factorized path stays the hot default
+        from .analysis import _factorize_sorted, batch_tokenize_offsets
+        di, terms_o, pos, off_s, off_e = batch_tokenize_offsets(
+            texts, mode=analyzer)
+        codes, uniques = _factorize_sorted(terms_o)
+        overlap = None
+    else:
+        di, codes, uniques, pos, overlap = tokenize_factorized_overlap(
+            texts, mode=analyzer)
+        off_s = off_e = None
 
     lens = np.zeros(n_docs, dtype=np.int64)
     if di.size:
@@ -183,6 +198,9 @@ def _invert_field(
     within = np.arange(t_s.size) - np.repeat(run_starts, tf_raw)
     keep = within < TERM_FREQ_LIMIT
     pos_capped = p_s[keep]
+    if off_s is not None:
+        offs_capped = off_s[order][keep]
+        offe_capped = off_e[order][keep]
 
     # term boundaries over the runs
     term_starts = np.flatnonzero(new_term[run_starts])
@@ -256,6 +274,21 @@ def _invert_field(
     p_hi = pbyte_off[pos_offsets[blk_ends]]
     pos_bins = [praw[p_lo[b]:p_hi[b]] for b in range(n_blocks)]
 
+    if off_s is not None:
+        # interleaved (start, end-start) varints, one pass for the whole
+        # segment, sliced per block at 2x the position boundaries
+        inter = np.empty(2 * offs_capped.size, dtype=np.uint64)
+        inter[0::2] = offs_capped.astype(np.uint64)
+        inter[1::2] = (offe_capped - offs_capped).astype(np.uint64)
+        obuf, onbytes = varint_encode_sized(inter)
+        oraw = obuf.tobytes()
+        obyte_off = np.concatenate(([0], np.cumsum(onbytes)))
+        o_lo = obyte_off[2 * pos_offsets[blk_starts]]
+        o_hi = obyte_off[2 * pos_offsets[blk_ends]]
+        offs_bins = [oraw[o_lo[b]:o_hi[b]] for b in range(n_blocks)]
+    else:
+        offs_bins = [b""] * n_blocks
+
     postings = pd.DataFrame(
         {
             "field": fname,
@@ -273,6 +306,7 @@ def _invert_field(
             "norms_bin": encode_stream(run_norm.astype(np.uint64)),
             "dls_bin": encode_stream(run_dl.astype(np.uint64)),
             "pos_bin": pos_bins,
+            "offs_bin": offs_bins,
         }
     )
     segstats = pd.DataFrame(
@@ -300,6 +334,7 @@ def _build_segment_files(
     fields: list,
     key_col: str,
     analyzer: str,
+    index_offsets: bool = False,
 ) -> pd.DataFrame:
     """applyInPandas body: build + persist one segment, return manifest row.
 
@@ -309,11 +344,14 @@ def _build_segment_files(
     seg = int(pdf["segment_id"].iloc[0])
     marker = os.path.join(index_dir, "markers", f"seg-{seg}.json")
     if storage.exists(marker):
-        return pd.DataFrame([json.loads(storage.read_text(marker))])
+        row = json.loads(storage.read_text(marker))
+        row.setdefault("bytes", 0)  # markers from before the field existed
+        return pd.DataFrame([row])
 
     t0 = time.time()
     pdf = pdf.drop(columns=["segment_id"])
-    postings, docmeta, segstats = _invert_segment(pdf, fields, key_col, analyzer)
+    postings, docmeta, segstats = _invert_segment(
+        pdf, fields, key_col, analyzer, index_offsets)
     # `seg` is stored IN the files (constant column, ~free under RLE): the
     # manifest — not directory discovery — decides which dirs are live,
     # which is what makes every publish a single atomic manifest swap
@@ -364,6 +402,11 @@ def _build_segment_files(
         "min_key": keys.min() if len(keys) else "",
         "max_key": keys.max() if len(keys) else "",
         "dir": dirname,
+        # recorded so the merge policy sizes segments from manifest
+        # metadata alone (no filesystem walk on the maintenance path)
+        "bytes": sum(
+            storage.dir_size(os.path.join(index_dir, sub, dirname))
+            for sub in ("postings", "docmeta", "segstats")),
     }
     storage.atomic_write_text(marker, json.dumps(row))
     return pd.DataFrame([row])
@@ -384,6 +427,7 @@ class IndexWriter:
         partitioner: str = "hash",
         store_cols: list[str] | None = None,
         fields: list[tuple[str, str]] | None = None,
+        index_offsets: bool = False,
     ) -> None:
         """``fields`` is the multi-field document model: a list of
         ``(field_name, source_col)`` pairs, each independently indexed with
@@ -401,6 +445,7 @@ class IndexWriter:
         self.analyzer = analyzer
         self.partitioner = partitioner
         self.store_cols = store_cols
+        self.index_offsets = index_offsets
 
     @property
     def _field_cols(self) -> list[str]:
@@ -445,11 +490,13 @@ class IndexWriter:
         src = df.select(self.key_col, *self._field_cols, *extra).withColumn(
             "segment_id", seg)
 
-        index_dir, fields, key_col, analyzer = (
-            self.index_dir, self.fields, self.key_col, self.analyzer)
+        index_dir, fields, key_col, analyzer, ioffs = (
+            self.index_dir, self.fields, self.key_col, self.analyzer,
+            self.index_offsets)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _build_segment_files(pdf, index_dir, fields, key_col, analyzer)
+            return _build_segment_files(pdf, index_dir, fields, key_col,
+                                        analyzer, ioffs)
 
         rows = (src.groupBy("segment_id")
                 .applyInPandas(fn, _MANIFEST_ROW_SCHEMA).collect())
@@ -496,7 +543,7 @@ class IndexWriter:
         copies out physically."""
         gen = int(load_manifest(self.index_dir).get("gen_counter", 0))
         tomb_dir = os.path.join(self.index_dir, "tombstones")
-        os.makedirs(tomb_dir, exist_ok=True)
+        storage.makedirs(tomb_dir)
         (df.select(F.col(self.key_col).cast("string").alias("key"),
                    F.lit(gen).cast("long").alias("gen"))
          .distinct()
@@ -504,20 +551,22 @@ class IndexWriter:
         return self.add_documents(df, n_segments=n_segments)
 
     def build(self, df: DataFrame) -> dict:
-        os.makedirs(self.index_dir, exist_ok=True)
+        storage.makedirs(self.index_dir)
         extra = self._extra_cols(df)
         src = self._with_segment_id(
             df.select(self.key_col, *self._field_cols, *extra))
 
-        index_dir, fields, key_col, analyzer = (
+        index_dir, fields, key_col, analyzer, ioffs = (
             self.index_dir,
             self.fields,
             self.key_col,
             self.analyzer,
+            self.index_offsets,
         )
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _build_segment_files(pdf, index_dir, fields, key_col, analyzer)
+            return _build_segment_files(pdf, index_dir, fields, key_col,
+                                        analyzer, ioffs)
 
         rows = (
             src.groupBy("segment_id")
@@ -535,6 +584,7 @@ class IndexWriter:
             "fields": [fn_ for fn_, _ in self.fields],
             "field_cols": {fn_: c for fn_, c in self.fields},
             "analyzer": self.analyzer,
+            "index_offsets": self.index_offsets,
             "partitioner": self.partitioner,
             "key_col": self.key_col,
             "n_segments": self.n_segments,

@@ -249,6 +249,65 @@ def batch_unpack_positions(bufs: list, tfs: np.ndarray) -> tuple[np.ndarray, np.
     return cum - np.cumsum(expand), tfs
 
 
+def pack_offsets(starts: np.ndarray, ends: np.ndarray) -> bytes:
+    """Encode per-position character offsets as an interleaved
+    ``(start, end-start)`` varint stream — the offsets channel of
+    ``IndexOptions::DocsAndFreqsAndPositionsAndOffsets``
+    (posting_iterator.rs:54-79; posting_writer.rs stores start delta +
+    length, we store absolute start + length: offsets are an opt-in
+    sidecar, simplicity over the last byte of compression)."""
+    s = np.asarray(starts, dtype=np.uint64)
+    e = np.asarray(ends, dtype=np.uint64)
+    if s.size == 0:
+        return b""
+    inter = np.empty(2 * s.size, dtype=np.uint64)
+    inter[0::2] = s
+    inter[1::2] = e - s
+    return varint_encode(inter)
+
+
+def unpack_offsets(buf: bytes, n_positions: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_offsets` → (starts, ends) int64 arrays of
+    length ``n_positions`` (aligned with the block's position stream)."""
+    if n_positions == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    vals = varint_decode(buf, 2 * n_positions).astype(np.int64)
+    starts = vals[0::2]
+    return starts, starts + vals[1::2]
+
+
+def batch_unpack_offsets(bufs: list, n_per_buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode many ``pack_offsets`` buffers at once (values are absolute
+    per token, so plain concatenation is safe)."""
+    total = int(np.asarray(n_per_buf, dtype=np.int64).sum())
+    return unpack_offsets(b"".join(bufs), total)
+
+
+def batch_pack_offsets(starts: np.ndarray, ends: np.ndarray,
+                       tfs: np.ndarray,
+                       docs_per_row: np.ndarray) -> list[bytes]:
+    """Per-row :func:`pack_offsets` bytes from concatenated offset arrays:
+    ``tfs`` gives each doc's position count, ``docs_per_row`` slices docs
+    into rows (blocks). One varint pass, per-row byte slicing — the
+    offsets mirror of :func:`batch_pack_positions`."""
+    s = np.asarray(starts, dtype=np.uint64)
+    e = np.asarray(ends, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    docs_per_row = np.asarray(docs_per_row, dtype=np.int64)
+    inter = np.empty(2 * s.size, dtype=np.uint64)
+    inter[0::2] = s
+    inter[1::2] = e - s
+    buf, nbytes = varint_encode_sized(inter)
+    raw = buf.tobytes()
+    row_doc_ends = np.cumsum(docs_per_row)
+    row_doc_starts = row_doc_ends - docs_per_row
+    pos_prefix = np.concatenate(([0], np.cumsum(tfs)))
+    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+    lo = byte_off[2 * pos_prefix[row_doc_starts]]
+    hi = byte_off[2 * pos_prefix[row_doc_ends]]
+    return [raw[lo[r]:hi[r]] for r in range(docs_per_row.size)]
+
+
 def batch_pack_ints(vals: np.ndarray, counts: np.ndarray) -> list[bytes]:
     """Per-row :func:`pack_ints` over a concatenated value stream —
     bit-identical to ``[pack_ints(row_vals) for row_vals in rows]`` but

@@ -158,6 +158,85 @@ def highlight_phrase(
     )
 
 
+def highlight_term_offsets(
+    searcher: IndexSearcher,
+    docs_df: DataFrame,
+    term: str,
+    k: int = 10,
+    char_window: int = 30,
+    pre: str = "<b>",
+    post: str = "</b>",
+    field: str = "text",
+    text_col: str = "text",
+) -> DataFrame:
+    """Offset-based highlighting from the postings' stored offsets sidecar
+    (``IndexOptions::DocsAndFreqsAndPositionsAndOffsets``,
+    posting_iterator.rs:54-79): the snippet is cut by CHARACTER offsets
+    recorded at index time, so it works for analyzers whose tokens are
+    not substring-recoverable from the source (lowercasing, punctuation
+    stripping — exactly where the re-derivation highlighters above break).
+    One pruned postings scan + Arrow offs decode; the snippet assembly is
+    JVM ``substring``/``concat`` on the k hit rows."""
+    import numpy as np
+    import pandas as pd
+
+    from .codec import batch_delta_decode, batch_unpack, batch_unpack_offsets
+
+    if not searcher.manifest.get("index_offsets"):
+        raise ValueError(
+            "index was not built with index_offsets=True (offsets sidecar"
+            " absent); use the source-derived highlighters instead")
+    key = searcher.key_col
+    hits = searcher.search(TermQuery(field, term), k).select(
+        key, "seg", "doc", "score")
+
+    def decode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["num_docs"].to_numpy(np.int64)
+            docs = batch_delta_decode(
+                batch_unpack(pdf["docs_bin"].tolist(), counts), counts
+            ).astype(np.int64)
+            tfs = batch_unpack(pdf["tfs_bin"].tolist(), counts
+                               ).astype(np.int64)
+            starts, ends = batch_unpack_offsets(
+                pdf["offs_bin"].tolist(), tfs)
+            first = np.cumsum(tfs) - tfs  # first occurrence per doc
+            yield pd.DataFrame({
+                "seg": np.repeat(pdf["seg"].to_numpy(np.int32), counts),
+                "doc": docs,
+                "_os": starts[first],
+                "_oe": ends[first],
+            })
+
+    offs = (searcher._postings
+            .filter((F.col("field") == field) & (F.col("term") == term))
+            .select("seg", "num_docs", "docs_bin", "tfs_bin", "offs_bin")
+            .mapInPandas(decode, "seg int, doc long, _os long, _oe long"))
+    joined = (hits.join(offs, ["seg", "doc"])
+              .join(docs_df.select(key, text_col), key))
+    s0 = F.col("_os")  # 0-based [s0, e0)
+    e0 = F.col("_oe")
+    a = F.greatest(F.lit(1), s0 + 1 - char_window)  # 1-based window start
+    txt = F.col(text_col)
+    snippet = F.concat(
+        txt.substr(a.cast("int"), (s0 + 1 - a).cast("int")),
+        F.lit(pre),
+        txt.substr((s0 + 1).cast("int"), (e0 - s0).cast("int")),
+        F.lit(post),
+        txt.substr((e0 + 1).cast("int"), F.lit(char_window).cast("int")),
+    )
+    return (
+        joined.select(
+            key, "seg", "doc",
+            F.round(F.col("score"), 6).alias("score"),
+            snippet.alias("snippet"),
+        )
+        .orderBy(F.desc("score"), "seg", "doc")
+    )
+
+
 def highlight_phrase_sql(terms: list[str], k: int = 10, window: int = 3,
                          pre: str = "<b>", post: str = "</b>") -> str:
     """DuckDB mirror of :func:`highlight_phrase` (caller prepends a CTE

@@ -38,7 +38,6 @@ import uuid
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -54,8 +53,10 @@ from .build import (
 from .codec import (
     batch_delta_decode,
     batch_pack_ints,
+    batch_pack_offsets,
     batch_pack_positions,
     batch_unpack,
+    batch_unpack_offsets,
     batch_unpack_positions,
 )
 
@@ -66,7 +67,7 @@ _BLOCK_SCHEMA_DDL = (
     "first_doc long, last_doc long, "
     "max_tf int, max_norm_byte int, min_dl long, ttf long, "
     "docs_bin binary, tfs_bin binary, norms_bin binary, dls_bin binary, "
-    "pos_bin binary"
+    "pos_bin binary, offs_bin binary"
 )
 
 
@@ -308,15 +309,20 @@ class TieredMergePolicy:
 
 
 def segment_sizes(index_dir: str, manifest: dict) -> dict[int, int]:
-    """On-disk bytes per segment (postings + docmeta + segstats dirs)."""
+    """On-disk bytes per segment (postings + docmeta + segstats dirs).
+
+    Prefers the ``bytes`` recorded in the manifest row at build/merge
+    time (no filesystem walk at all — the merge policy then runs on
+    manifest metadata only); falls back to a storage-seam listing for
+    rows committed before the field existed."""
     out = {}
     for s in manifest["segments"]:
+        if "bytes" in s:
+            out[s["segment_id"]] = int(s["bytes"])
+            continue
         total = 0
         for sub in ("postings", "docmeta", "segstats"):
-            d = os.path.join(index_dir, sub, seg_dir(s))
-            if os.path.isdir(d):
-                for f in os.listdir(d):
-                    total += os.path.getsize(os.path.join(d, f))
+            total += storage.dir_size(os.path.join(index_dir, sub, seg_dir(s)))
         out[s["segment_id"]] = total
     return out
 
@@ -442,13 +448,14 @@ class SegmentMerger:
 
         def _load_dels(cache: dict, seg: int):
             """Per-task lazy load of one segment's sorted deleted-doc ids
-            from the side parquet (partition-pruned read)."""
+            from the side parquet (partition-pruned read, through the
+            storage seam — works against an object store backend)."""
             if del_path is None:
                 return None
             if seg not in cache:
                 p = os.path.join(del_path, f"seg={seg}")
-                if os.path.isdir(p):
-                    arr = pq.read_table(p).column("doc").to_numpy()
+                if storage.is_dir(p):
+                    arr = storage.read_parquet(p).column("doc").to_numpy()
                     cache[seg] = np.sort(arr.astype(np.int64))
                 else:
                     cache[seg] = None
@@ -479,6 +486,14 @@ class SegmentMerger:
                                    ).astype(np.int64)
                 flat_pos, _ = batch_unpack_positions(
                     pdf["pos_bin"].tolist(), tfs)
+                offs_list = (pdf["offs_bin"].tolist()
+                             if "offs_bin" in pdf.columns
+                             else [b""] * n_rows)
+                # offsets survive a merge only when every input block has
+                # them (mixed pre/post-upgrade segments drop the sidecar)
+                has_offs = all(len(b) > 0 for b in offs_list) and tfs.sum() > 0
+                if has_offs:
+                    o_starts, o_ends = batch_unpack_offsets(offs_list, tfs)
 
                 flat_seg = np.repeat(segs, counts)
                 keep = np.ones(docs.size, dtype=bool)
@@ -521,6 +536,12 @@ class SegmentMerger:
 
                 pos_keep = np.repeat(keep, tfs)
                 k_pos = flat_pos[pos_keep].astype(np.uint64)
+                if has_offs:
+                    offs_out = batch_pack_offsets(
+                        o_starts[pos_keep], o_ends[pos_keep],
+                        k_tfs, kept_s)
+                else:
+                    offs_out = [b""] * int(surv.sum())
 
                 rank_arr = np.asarray(
                     [b_rank.value[int(s)] for s in segs], dtype=np.int64)
@@ -547,6 +568,7 @@ class SegmentMerger:
                     "dls_bin": batch_pack_ints(
                         k_dls.astype(np.uint64), kept_s),
                     "pos_bin": batch_pack_positions(k_pos, k_tfs, kept_s),
+                    "offs_bin": offs_out,
                 })
 
         merged = postings_run.mapInPandas(remap, _BLOCK_SCHEMA_DDL)
@@ -668,6 +690,8 @@ class SegmentMerger:
             "gen": new_gen,
             "merged_from": run,
             "deleted_docs": n_deleted,
+            "bytes": sum(storage.dir_size(p) for p in
+                         (post_path, dm_path, ss_path)),
         }
         assert int(keys_mm[2]) == total_live, (keys_mm[2], total_live)
         new_segments = [s for s in m["segments"] if s["segment_id"] not in run]
@@ -695,9 +719,7 @@ class SegmentMerger:
                         os.path.join(tomb_dir_p, f"tomb-{token}-{i}.parquet"))
             storage.remove_dir(tomb_stage)
         for f in tomb_files_before:
-            p = os.path.join(tomb_dir_p, f)
-            if os.path.exists(p):
-                os.remove(p)
+            storage.remove_file(os.path.join(tomb_dir_p, f))
         if del_dir is not None:
             storage.remove_dir(del_dir)
         # dead-overlay GC: an update with gen g applies only to segments
@@ -707,18 +729,17 @@ class SegmentMerger:
             int(s.get("gen", 0)) for s in new_segments)
         dvu_dir = os.path.join(self.index_dir, DV_UPDATES)
         if storage.is_dir(dvu_dir):
-            import pyarrow.parquet as _pq
             for f in list(storage.listdir(dvu_dir)):
                 p = os.path.join(dvu_dir, f)
                 if not f.endswith(".parquet"):
                     continue
                 try:
-                    t = _pq.read_table(p, columns=["gen"])
+                    t = storage.read_parquet(p, columns=["gen"])
                     fgen = int(t["gen"][0].as_py()) if t.num_rows else 0
                 except KeyError:
                     continue  # legacy file without gen: keep forever
                 if fgen < min_live_gen:
-                    os.remove(p)
+                    storage.remove_file(p)
         gc_index(self.index_dir)
         return new_row
 

@@ -83,9 +83,36 @@ def rename_file(src: str, dst: str) -> None:
     os.replace(src, dst)
 
 
+def remove_file(path: str) -> None:
+    """S3: single DELETE. Used by tombstone/overlay consolidation only."""
+    if os.path.exists(path):
+        os.remove(path)
+
+
 def remove_dir(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def file_size(path: str) -> int:
+    return os.path.getsize(path)
+
+
+def dir_size(path: str) -> int:
+    """Total bytes under a directory (one level — segment dirs are flat).
+    S3: sum of sizes from the prefix listing."""
+    if not os.path.isdir(path):
+        return 0
+    return sum(
+        os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f)))
+
+
 def write_parquet(table, path: str, **kwargs) -> None:
     pq.write_table(table, path, **kwargs)
+
+
+def read_parquet(path: str, columns: list[str] | None = None):
+    """Read a parquet file or directory → pyarrow Table. The executor-side
+    mirror of ``write_parquet`` (merge tasks read their segment's staged
+    delete slice through this seam, never raw POSIX paths)."""
+    return pq.read_table(path, columns=columns)

@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Million-doc scale proof (round-3 VERDICT 'Next round #1').
+
+Exercises the whole engine at >=1M documents on local[32] — two orders
+of magnitude above the sf0.1 driver bench — and records per-stage wall
+times. The corpus is generated DISTRIBUTED (one make_corpus call per
+partition with a partition-unique url prefix), so nothing at any stage
+is driver-sized.
+
+Stages:
+  1. generate + write corpus parquet (distributed, deterministic)
+  2. fresh index build (tokenize -> invert -> FOR/varint pack -> parquet)
+  3. query suite: term / stopword-pair exact phrase (the round-2
+     Python-loop hazard) / boolean / dismax / block-max WAND / span-near
+  4. maintenance: delete ~2% by key, tiered merge to quiescence, re-query
+  5. IVF at n_cells=256 over 200k embeddings (broadcast quantizer +
+     cell-partitioned layout, partition-pruned probe)
+
+Writes BENCH_1M.json at the repo root; prints one JSON line.
+
+Env: BENCH1M_DOCS (default 1_000_000), BENCH1M_CPUS (default 32),
+     BENCH1M_VECS (default 200_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOCS = int(os.environ.get("BENCH1M_DOCS", "1000000"))
+CPUS = int(os.environ.get("BENCH1M_CPUS", "32"))
+VECS = int(os.environ.get("BENCH1M_VECS", "200000"))
+N_PARTS = 64
+TMPFS = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    t_all = time.time()
+    work = tempfile.mkdtemp(prefix="bench1m_", dir=TMPFS)
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("rucene-bench-1m")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.local.dir", os.path.join(work, "spark-local"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    stages: dict[str, float] = {}
+    out: dict = {"docs": DOCS, "cpus": CPUS, "stages": stages}
+
+    try:
+        # ---- 1. distributed corpus generation
+        t0 = time.time()
+        per_part = DOCS // N_PARTS
+        corpus_dir = os.path.join(work, "corpus")
+
+        def gen(batches):
+            import pandas as pd  # noqa: F401
+
+            from rucene_spark.webtext import make_corpus
+
+            for pdf in batches:
+                for pid in pdf["id"].tolist():
+                    part = make_corpus(per_part, seed=1000 + int(pid))
+                    part["url"] = [
+                        f"https://p{int(pid):03d}.example/{i:08x}"
+                        for i in range(len(part))
+                    ]
+                    yield part[["url", "warc_ts", "html", "text", "lang"]]
+
+        (spark.range(N_PARTS).repartition(N_PARTS, "id")
+         .mapInPandas(gen, "url string, warc_ts timestamp, html binary,"
+                           " text string, lang string")
+         .write.mode("overwrite").parquet(corpus_dir))
+        stages["generate"] = round(time.time() - t0, 2)
+        docs = spark.read.parquet(corpus_dir)
+        n_docs = docs.count()
+        out["docs_actual"] = n_docs
+
+        # ---- 2. fresh build
+        from rucene_spark.build import IndexWriter
+        from rucene_spark.search import IndexSearcher
+
+        idx = os.path.join(work, "idx")
+        t0 = time.time()
+        writer = IndexWriter(spark, idx, n_segments=N_PARTS, key_col="url",
+                             partitioner="hash")
+        m = writer.build(docs)
+        stages["build"] = round(time.time() - t0, 2)
+        out["index_docs_per_sec"] = round(n_docs / stages["build"], 1)
+        out["terms"] = int(sum(s["terms"] for s in m["segments"]))
+        out["postings"] = int(sum(s["postings"] for s in m["segments"]))
+
+        # ---- 3. query suite
+        from rucene_spark.query import (
+            BooleanQuery,
+            DisjunctionMaxQuery,
+            PhraseQuery,
+            SpanNearQuery,
+            SpanTermQuery,
+            TermQuery,
+        )
+
+        searcher = IndexSearcher(spark, idx, scoring="lucene")
+        hi, mid, lo = "t000000", "t000050", "t002000"
+        suite = {
+            "term_topk": lambda: searcher.search(
+                TermQuery("text", hi), 10).collect(),
+            # stopword-pair phrase: BOTH terms are top-df — the candidate
+            # set is corpus-scale, exactly the round-2 'What's wrong #2'
+            # adversarial case the vectorized verify must survive
+            "stopword_phrase": lambda: searcher.search(
+                PhraseQuery.build("text", [hi, "t000001"], slop=0),
+                10).collect(),
+            "bool_must": lambda: searcher.search(
+                BooleanQuery.build(
+                    [TermQuery("text", hi), TermQuery("text", mid)],
+                    [], [], []), 10).collect(),
+            "dismax": lambda: searcher.search(
+                DisjunctionMaxQuery(
+                    [TermQuery("text", hi), TermQuery("text", mid)],
+                    0.3), 10).collect(),
+            "blockmax": lambda: searcher.search_blockmax(
+                [hi, mid, lo], 10).collect(),
+            "span_near": lambda: searcher.search(
+                SpanNearQuery([SpanTermQuery("text", hi),
+                               SpanTermQuery("text", "t000001")],
+                              slop=3, in_order=True), 10).collect(),
+        }
+        for name, fn in suite.items():
+            fn()  # warm-up
+            t0 = time.time()
+            fn()
+            stages[f"q_{name}"] = round(time.time() - t0, 2)
+
+        # ---- 4. maintenance: delete ~2% + merge to quiescence + re-query
+        from rucene_spark.merge import (
+            TieredMergePolicy,
+            delete_by_keys,
+            maybe_merge,
+        )
+
+        victims = [r["url"] for r in
+                   docs.select("url").sample(0.02, seed=7).collect()]
+        t0 = time.time()
+        delete_by_keys(idx, victims)
+        stages["delete_2pct"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        merged = maybe_merge(
+            spark, idx,
+            TieredMergePolicy(max_merged_segment_bytes=1 << 40,
+                              segs_per_tier=4.0))
+        stages["tiered_merge"] = round(time.time() - t0, 2)
+        out["merges_done"] = len(merged)
+        out["segments_after"] = len(
+            __import__("rucene_spark.build", fromlist=["load_manifest"])
+            .load_manifest(idx)["segments"])
+        s2 = IndexSearcher(spark, idx, scoring="lucene")
+        t0 = time.time()
+        n_after = s2.count(TermQuery("text", hi))
+        stages["q_term_after_merge"] = round(time.time() - t0, 2)
+        out["term_df_after_merge"] = int(n_after)
+
+        # ---- 5. IVF at n_cells=256 over 200k vectors
+        from rucene_spark.ann import ivf_build, ivf_search
+
+        vec_dir = os.path.join(work, "vecs")
+
+        def gen_vecs(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                for pid in pdf["id"].tolist():
+                    rng = np.random.default_rng(500 + int(pid))
+                    n = VECS // N_PARTS
+                    embs = rng.standard_normal((n, 64)).astype(np.float32)
+                    yield pd.DataFrame({
+                        "vec_id": np.arange(n, dtype=np.int64)
+                        + int(pid) * n,
+                        "embedding": list(embs),
+                    })
+
+        (spark.range(N_PARTS).repartition(N_PARTS, "id")
+         .mapInPandas(gen_vecs, "vec_id long, embedding array<float>")
+         .write.mode("overwrite").parquet(vec_dir))
+        emb = spark.read.parquet(vec_dir)
+        ivf_dir = os.path.join(work, "ivf")
+        t0 = time.time()
+        ivf_build(emb, ivf_dir, n_cells=256)
+        stages["ivf_build_256"] = round(time.time() - t0, 2)
+        q = [float(x) for x in
+             emb.filter("vec_id = 11").select("embedding").first()[0]]
+        t0 = time.time()
+        hits = ivf_search(spark, ivf_dir, q, k=10, nprobe=8).collect()
+        stages["ivf_probe_8_of_256"] = round(time.time() - t0, 2)
+        assert hits and hits[0]["vec_id"] == 11  # self is nearest
+
+        out["total_secs"] = round(time.time() - t_all, 2)
+        with open(os.path.join(REPO, "BENCH_1M.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
