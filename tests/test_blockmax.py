@@ -72,3 +72,30 @@ def test_blockmax_actually_prunes(spark, index_dir, corpus):
     assert ctr["total_blocks"] > 0
     assert ctr["theta"] > 0
     assert ctr["kept_blocks"] < ctr["total_blocks"], ctr
+
+
+def test_blockmax_degenerate_fallback_is_exact(spark, corpus, index_dir,
+                                               monkeypatch):
+    """When the candidate-bucket collect overflows (_MAX_CAND_BUCKETS),
+    the degenerate fallback scores non-essential terms exhaustively in
+    one scan — results must stay rank- and score-identical."""
+    import rucene_spark.search as search_mod
+
+    monkeypatch.setattr(search_mod, "_MAX_CAND_BUCKETS", 0)
+    s = IndexSearcher(spark, index_dir, scoring="lucene")
+    for terms in _term_sets(corpus):
+        exhaustive = s.search(
+            BooleanQuery.build([], [TermQuery("text", t) for t in terms],
+                               [], []),
+            10,
+        ).select("seg", "doc", "score").collect()
+        ctr: dict = {}
+        pruned = s.search_blockmax(terms, 10, prune_counter=ctr).select(
+            "seg", "doc", "score").collect()
+        assert [(r.seg, r.doc) for r in pruned] == [
+            (r.seg, r.doc) for r in exhaustive], terms
+        assert [r.score for r in pruned] == pytest.approx(
+            [r.score for r in exhaustive], rel=1e-6), terms
+        # with a 0 cap, any multi-term query with candidates must degrade
+        if ctr.get("n_nonessential", 0) and ctr.get("theta", 0) > 0:
+            assert ctr.get("degenerate"), (terms, ctr)

@@ -373,22 +373,28 @@ def test_phrase_positions_survive_merge_with_deletes(spark, corpus, tmp_index):
     assert after_urls == [u for u, _ in before]
 
 
-def test_randomized_maintenance_sequence(spark, tmp_path_factory):
+def _run_maintenance_fuzz(spark, d: str, seed: int, steps: int = 8) -> None:
     """Seeded fuzz of the maintenance surface: a random interleaving of
-    add_documents / delete_by_keys / update_documents / maybe_merge must
-    keep the searcher's LIVE view (hit sets + counts) equal to a plain
-    Python model of latest-version-per-key minus deletes, at every step.
+    add_documents / delete_by_keys / update_documents / update_doc_values
+    / maybe_merge must keep the searcher's LIVE view (hit sets + counts +
+    doc-values) equal to a plain Python model of
+    latest-version-per-key minus deletes, at every step. The rank check
+    covers the gen-scoped DV overlay: an update followed by
+    delete+re-add of the same key must expose the NEW stored value, and
+    merges must fold applicable overlays physically.
     (Scores are deliberately not compared: collection stats stay stale
     until merges fold deletes out, exactly like Lucene.)"""
     import numpy as np
 
+    from pyspark.sql import functions as F
+
     from rucene_spark.build import IndexWriter
     from rucene_spark.merge import (TieredMergePolicy, delete_by_keys,
-                                    maybe_merge)
+                                    maybe_merge, update_doc_values)
     from rucene_spark.query import MatchAllDocsQuery, TermQuery
     from rucene_spark.search import IndexSearcher
 
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     probes = [f"m{j}" for j in range(4)]
 
     def text_for(key, version):
@@ -396,12 +402,16 @@ def test_randomized_maintenance_sequence(spark, tmp_path_factory):
                            if (key + version + j) % 3 == 0] + [f"v{version}"]
         return " ".join(toks)
 
-    d = str(tmp_path_factory.mktemp("fuzz_maint"))
+    def rank_for(key, version):
+        return key * 100 + version
+
     expected = {i: text_for(i, 0) for i in range(30)}
     versions = {i: 0 for i in range(30)}
+    ranks = {i: rank_for(i, 0) for i in range(30)}
     writer = IndexWriter(spark, d, n_segments=4, key_col="doc_id")
     writer.build(spark.createDataFrame(
-        [(k, t) for k, t in expected.items()], "doc_id long, text string"))
+        [(k, t, ranks[k]) for k, t in expected.items()],
+        "doc_id long, text string, rank long"))
     next_key = 30
 
     def check():
@@ -412,24 +422,33 @@ def test_randomized_maintenance_sequence(spark, tmp_path_factory):
             got = {r["doc_id"] for r in
                    s.search(TermQuery("text", p), 1000).collect()}
             assert got == want, (p, got ^ want)
+        got_ranks = {r["doc_id"]: r["rank"] for r in
+                     s.search_sorted(MatchAllDocsQuery(), [F.col("doc_id")],
+                                     k=1000).collect()}
+        assert got_ranks == ranks, {
+            k: (got_ranks.get(k), ranks.get(k))
+            for k in set(got_ranks) | set(ranks)
+            if got_ranks.get(k) != ranks.get(k)}
 
-    for step in range(8):
-        op = int(rng.integers(0, 4))
+    for step in range(steps):
+        op = int(rng.integers(0, 5))
         if op == 0:                                   # add new docs
             batch = {}
             for _ in range(int(rng.integers(2, 6))):
                 batch[next_key] = text_for(next_key, 0)
                 versions[next_key] = 0
+                ranks[next_key] = rank_for(next_key, 0)
                 next_key += 1
             expected.update(batch)
             writer.add_documents(spark.createDataFrame(
-                [(k, t) for k, t in batch.items()],
-                "doc_id long, text string"), n_segments=1)
+                [(k, t, ranks[k]) for k, t in batch.items()],
+                "doc_id long, text string, rank long"), n_segments=1)
         elif op == 1 and expected:                    # delete some keys
             keys = list(rng.choice(sorted(expected), size=min(
                 int(rng.integers(1, 4)), len(expected)), replace=False))
             for k in keys:
                 expected.pop(int(k))
+                ranks.pop(int(k))
             delete_by_keys(d, [int(k) for k in keys])
         elif op == 2 and expected:                    # update (new version)
             keys = [int(k) for k in rng.choice(
@@ -438,10 +457,18 @@ def test_randomized_maintenance_sequence(spark, tmp_path_factory):
             for k in keys:
                 versions[k] += 1
                 batch[k] = text_for(k, versions[k])
+                ranks[k] = rank_for(k, versions[k])  # re-add resets rank
             expected.update(batch)
             writer.update_documents(spark.createDataFrame(
-                [(k, t) for k, t in batch.items()],
-                "doc_id long, text string"), n_segments=1)
+                [(k, t, ranks[k]) for k, t in batch.items()],
+                "doc_id long, text string, rank long"), n_segments=1)
+        elif op == 3 and expected:                    # DV update in place
+            keys = [int(k) for k in rng.choice(
+                sorted(expected), size=min(2, len(expected)), replace=False)]
+            upd = {k: 10_000 + int(rng.integers(0, 1000)) for k in keys}
+            for k, v in upd.items():
+                ranks[k] = v
+            update_doc_values(d, "rank", upd)
         else:                                         # merge to quiescence
             maybe_merge(spark, d, TieredMergePolicy(
                 floor_segment_bytes=1 << 30, segs_per_tier=2.0,
@@ -451,6 +478,19 @@ def test_randomized_maintenance_sequence(spark, tmp_path_factory):
     maybe_merge(spark, d, TieredMergePolicy(
         floor_segment_bytes=1 << 30, segs_per_tier=2.0, max_merge_at_once=4))
     check()
+
+
+def test_randomized_maintenance_sequence(spark, tmp_path_factory):
+    """One fuzz seed in CI; more seeds via MAINT_FUZZ_SEEDS (comma-sep)
+    or tools/fuzz_maintenance.py — this pattern found two real bugs in
+    round 2 that the targeted tests missed."""
+    import os
+
+    seeds = [int(x) for x in
+             os.environ.get("MAINT_FUZZ_SEEDS", "11").split(",")]
+    for seed in seeds:
+        _run_maintenance_fuzz(
+            spark, str(tmp_path_factory.mktemp(f"fuzz_maint_{seed}")), seed)
 
 
 def test_merge_with_tombstones_that_miss_the_run(spark, tmp_path_factory):

@@ -159,10 +159,14 @@ def main() -> None:
         delete_by_keys(idx, victims)
         stages["delete_2pct"] = round(time.time() - t0, 2)
         t0 = time.time()
+        # up to 3 tiered merges (each rewrites ~10 segments AND re-runs
+        # the global stats aggregation — bounding the count keeps the
+        # stage measuring merge throughput, not stats-reagg repetition)
         merged = maybe_merge(
             spark, idx,
             TieredMergePolicy(max_merged_segment_bytes=1 << 40,
-                              segs_per_tier=4.0))
+                              segs_per_tier=4.0),
+            max_merges=3)
         stages["tiered_merge"] = round(time.time() - t0, 2)
         out["merges_done"] = len(merged)
         out["segments_after"] = len(
