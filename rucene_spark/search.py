@@ -587,6 +587,13 @@ class IndexSearcher:
             if isinstance(query.query, TermQuery):
                 return self._explain_term(
                     query.query, np.float32(query.boost), seg, doc)
+            if isinstance(query.query, PhraseQuery):
+                return self._explain_phrase(
+                    query.query, np.float32(query.boost), seg, doc)
+            from .query import SpanQuery as _SpanQuery
+            if isinstance(query.query, _SpanQuery):
+                return self._explain_span(
+                    query.query, np.float32(query.boost), seg, doc)
             inner = self.explain(query.query, seg, doc)
             inner["value"] = float(
                 np.float32(inner["value"] * np.float32(query.boost)))
@@ -647,6 +654,32 @@ class IndexSearcher:
                 "description": "sum of:",
                 "details": details,
             }
+        if isinstance(query, PhraseQuery):
+            return self._explain_phrase(query, np.float32(1.0), seg, doc)
+        from .query import SpanQuery as _SpanQuery
+        if isinstance(query, _SpanQuery):
+            return self._explain_span(query, np.float32(1.0), seg, doc)
+        if isinstance(query, DisjunctionMaxQuery):
+            # DisjunctionMaxWeight::explain (dis_max.rs): max of the
+            # matching sub-explanations, plus tie_breaker × the others;
+            # the combine arithmetic mirrors the frame's Spark agg
+            # (f32 max, f64 sum, f64 combine, f32 cast)
+            details = [self.explain(d, seg, doc) for d in query.disjuncts]
+            matched = [e for e in details if e["match"]]
+            if not matched:
+                return {"match": False, "value": 0.0,
+                        "description": "No matching clause",
+                        "details": details}
+            mx = max(np.float32(e["value"]) for e in matched)
+            s64 = float(sum(np.float64(np.float32(e["value"]))
+                            for e in matched))
+            tie = float(query.tie_breaker)
+            value = float(np.float32(np.float64(mx)
+                                     + tie * (s64 - np.float64(mx))))
+            desc = ("max of:" if tie == 0.0
+                    else f"max plus {tie} times others of:")
+            return {"match": True, "value": value, "description": desc,
+                    "details": matched}
         # generic fallback: evaluate the query's frame at this one doc
         row = (
             self._frame(query, np.float32(1.0), needs_scores=True)
@@ -736,6 +769,158 @@ class IndexSearcher:
                  ]},
             ],
         }
+
+    def _doc_positions(self, field: str, uniq_terms: list[str],
+                       ti_of: dict, seg: int, doc: int):
+        """Per-term positions of one (seg, doc) plus its (norm_byte, dl) —
+        one pushed postings scan; explain-path helper."""
+        rows = (
+            self._positions_rows(field, uniq_terms, ti_of)
+            .filter((F.col("seg") == seg) & (F.col("doc") == doc))
+            .collect()
+        )
+        if not rows:
+            return {}, 0, 0
+        pos_map = {r["ti"]: np.asarray(r["positions"], dtype=np.int64)
+                   for r in rows}
+        return pos_map, int(rows[0]["norm_byte"]), int(rows[0]["dl"])
+
+    def _idf_sum_detail(self, field: str, terms: list[str],
+                        stats: dict) -> tuple[np.float32, float, dict]:
+        """(f32 idf sum, f64 idf sum, Explanation detail) over ``terms``
+        in encounter order — PhraseWeight/SpanWeight idf accumulation."""
+        idf32_total = np.float32(0.0)
+        idf64_total = 0.0
+        per_term = []
+        for t in terms:
+            row = stats.get((field, t))
+            df_ = int(row["df"]) if row else 0
+            i32 = idf32(df_, self.doc_count)
+            idf32_total = np.float32(idf32_total + i32)
+            idf64_total += float(np.log(
+                1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+            per_term.append({
+                "value": float(i32),
+                "description": f"idf(docFreq={df_},"
+                               f" docCount={self.doc_count})",
+                "details": [],
+            })
+        detail = {"value": float(idf32_total),
+                  "description": "idf(), sum of:", "details": per_term}
+        return idf32_total, idf64_total, detail
+
+    def _explain_positional(self, field: str, idf_terms: list[str],
+                            freq: float, nb: int, dl: int,
+                            boost: np.float32, doc: int, what: str,
+                            stats: dict) -> dict:
+        """Shared BM25 Explanation tree for freq-bearing positional queries
+        (phrase/span) — value arithmetic mirrors the corresponding frame's
+        scoring kernel exactly (f32 path in "lucene" mode, f64 otherwise),
+        bm25_similarity.rs:265-361."""
+        from .smallfloat import NORM_TABLE
+
+        idf32_total, idf64_total, idf_detail = self._idf_sum_detail(
+            field, idf_terms, stats)
+        k1_, b_ = self.sim_f[field]
+        cache = self.cache_f[field]
+        if self.scoring == "lucene":
+            wk32 = np.float32(np.float32(idf32_total * boost)
+                              * (np.float32(k1_) + np.float32(1.0)))
+            tff = np.float32(freq)
+            value = float((wk32 * tff) / (tff + cache[nb]))
+            tf_norm = float((tff * (np.float32(k1_) + np.float32(1.0)))
+                            / (tff + cache[nb]))
+            field_len = float(NORM_TABLE[nb])
+        else:
+            coef64 = (idf64_total * float(boost)) * _kp1_64(k1_)
+            denom = freq + k1_ * ((1.0 - b_) + b_ * dl
+                                  / self.avgdl64_f[field])
+            value = float(coef64 * freq / denom)
+            tf_norm = float(freq * (k1_ + 1.0) / denom)
+            field_len = float(dl)
+        return {
+            "match": True,
+            "value": value,
+            "description": f"score(doc={doc},freq={freq}),"
+                           f" product of ({what}):",
+            "details": [
+                idf_detail,
+                {"value": tf_norm,
+                 "description": "tfNorm, computed as (freq * (k1 + 1)) /"
+                                " (freq + k1 * (1 - b + b * fieldLength /"
+                                " avgFieldLength)) from:",
+                 "details": [
+                     {"value": float(freq), "description": "phraseFreq"
+                      if what.startswith("phrase") else "spanFreq",
+                      "details": []},
+                     {"value": float(k1_), "description": "parameter k1",
+                      "details": []},
+                     {"value": float(b_), "description": "parameter b",
+                      "details": []},
+                     {"value": float(self.avgdl_f[field]),
+                      "description": "avgFieldLength", "details": []},
+                     {"value": field_len, "description": "fieldLength",
+                      "details": []},
+                 ]},
+            ],
+        }
+
+    def _explain_phrase(self, q: PhraseQuery, boost: np.float32,
+                        seg: int, doc: int) -> dict:
+        """PhraseWeight::explain — phraseFreq from the shared kernels (the
+        same arithmetic the `_phrase_frame` JVM/numpy paths compute),
+        idf summed over terms in phrase order."""
+        self._check_field(q.field)
+        stats = self._stats_for([(q.field, t) for t in q.terms])
+        if any((q.field, t) not in stats for t in q.terms):
+            return {"match": False, "value": 0.0,
+                    "description": "no matching term", "details": []}
+        uniq_terms = sorted(set(q.terms))
+        ti_of = {t: i for i, t in enumerate(uniq_terms)}
+        pos_map, nb, dl = self._doc_positions(
+            q.field, uniq_terms, ti_of, seg, doc)
+        if len(pos_map) < len(uniq_terms):
+            return {"match": False, "value": 0.0,
+                    "description": "no matching term", "details": []}
+        pls = [pos_map[ti_of[t]] for t in q.terms]
+        if q.slop == 0:
+            freq = float(exact_phrase_freq(pls, list(q.positions)))
+        else:
+            freq = float(sloppy_phrase_freq(
+                pls, list(q.positions), list(q.terms), q.slop))
+        if freq <= 0:
+            return {"match": False, "value": 0.0,
+                    "description": f"no matching phrase occurrence"
+                                   f" (slop={q.slop})", "details": []}
+        return self._explain_positional(
+            q.field, list(q.terms), freq, nb, dl, boost, doc,
+            "phrase " + " ".join(q.terms), stats)
+
+    def _explain_span(self, q, boost: np.float32, seg: int,
+                      doc: int) -> dict:
+        """SpanWeight::explain — freq = f32 Σ 1/(1+width) over the span
+        kernel's emitted spans, identical to `_span_frame`."""
+        from .query import SpanBoostQuery, span_spec, span_terms
+        from .spans import span_freq
+
+        while isinstance(q, SpanBoostQuery):
+            boost = np.float32(boost * np.float32(q.boost))
+            q = q.query
+        field = q.field
+        self._check_field(field)
+        terms = span_terms(q)
+        stats = self._stats_for([(field, t) for t in terms])
+        uniq_terms = sorted(set(terms))
+        ti_of = {t: i for i, t in enumerate(uniq_terms)}
+        spec = span_spec(q, ti_of)
+        pos_map, nb, dl = self._doc_positions(
+            field, uniq_terms, ti_of, seg, doc)
+        freq = float(span_freq(spec, pos_map)) if pos_map else 0.0
+        if freq <= 0:
+            return {"match": False, "value": 0.0,
+                    "description": "no matching spans", "details": []}
+        return self._explain_positional(
+            field, terms, freq, nb, dl, boost, doc, "span query", stats)
 
     # ------------------------------------------------------------------
     # stats

@@ -268,3 +268,50 @@ def test_search_with_timeout(spark, tmp_path_factory):
     assert timed == normal
     with _pytest.raises(TimeoutError):
         s.search_with_timeout(q, 5, timeout_s=0.0001)
+
+
+def test_explain_phrase_span_dismax_bit_parity(spark, corpus, hi_mid,
+                                               tmp_index):
+    """explain() for phrase/span/dismax must reproduce the search-path
+    score bit-for-bit (bm25_similarity.rs:265-361 / dis_max.rs explain)."""
+    from rucene_spark.query import (
+        DisjunctionMaxQuery,
+        PhraseQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    hi, mid = hi_mid
+    IndexWriter(spark, tmp_index, n_segments=4).build(
+        spark.createDataFrame(corpus[["url", "text", "lang"]]))
+    s = IndexSearcher(spark, tmp_index)
+
+    toks = corpus["text"].iloc[0].split()
+    w1, w2 = toks[0], toks[1]
+
+    cases = [
+        PhraseQuery.build("text", [w1, w2]),
+        PhraseQuery.build("text", [w1, w2], slop=2),
+        SpanNearQuery([SpanTermQuery("text", w1),
+                       SpanTermQuery("text", w2)], slop=1, in_order=True),
+        DisjunctionMaxQuery([TermQuery("text", hi), TermQuery("text", mid)],
+                            tie_breaker=0.0),
+        DisjunctionMaxQuery([TermQuery("text", hi), TermQuery("text", mid)],
+                            tie_breaker=0.3),
+    ]
+    checked = 0
+    for q in cases:
+        hits = s.search(q, 3).collect()
+        assert hits, q
+        for r in hits:
+            e = s.explain(q, r["seg"], r["doc"])
+            assert e["match"], (q, r)
+            assert np.float32(e["value"]).view(np.int32) == \
+                np.float32(r["score"]).view(np.int32), (q, e, r)
+            assert e["details"], q
+            checked += 1
+    assert checked >= 8
+
+    # non-match reporting
+    e = s.explain(PhraseQuery.build("text", [w2, w1]), 0, 0)
+    assert not e["match"] and e["value"] == 0.0

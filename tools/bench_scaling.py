@@ -242,7 +242,8 @@ def main() -> None:
         results["query_latency"] = lat
         spark.stop()
 
-        with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
+        out_name = os.environ.get("SCALE_BENCH_OUT", "BENCH_SCALING.json")
+        with open(os.path.join(REPO, out_name), "w") as fh:
             json.dump(results, fh, indent=1)
         print(json.dumps(results))
     finally:
