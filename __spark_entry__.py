@@ -145,6 +145,26 @@ def q_term_topk(spark, sf_dir):
     return _topk_out(s.search(TermQuery("text", T_HI), 10))
 
 
+def q_docs_level_topk(spark, sf_dir):
+    """Term top-k over a field indexed at the DOCS level
+    (index_options.rs:18-24): stored tf is the constant 1, so BM25 scores
+    with freq=1 and the collection's sum_ttf degrades to the distinct
+    (term, doc) pair count — the oracle mirrors both degradations."""
+    sf_dir = sf_dir.rstrip("/")
+    key = sf_dir + "#docs_level"
+    if key not in _INDEX_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "rucene_spark_idx_v6docs_" + sf_dir.replace("/", "_"))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        IndexWriter(spark, idx_dir, n_segments=8, key_col="doc_id",
+                    partitioner="range",
+                    fields=[("text", "text", "docs")]).build(docs)
+        _INDEX_CACHE[key] = idx_dir
+    s = IndexSearcher(spark, _INDEX_CACHE[key], scoring="precise")
+    return _topk_out(s.search(TermQuery("text", T_HI), 10))
+
+
 def q_bool_should_topk(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     q = QueryStringQueryBuilder(f"{T_HI} {T_MID}", [("text", 1.0)]).build()
@@ -578,6 +598,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_topk": q_term_topk,
+        "docs_level_topk": q_docs_level_topk,
         "bool_should_topk": q_bool_should_topk,
         "bool_must_topk": q_bool_must_topk,
         "bool_must_not_topk": q_bool_must_not_topk,
@@ -640,6 +661,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["term_topk"] = _sql_term_topk(T_HI)
+
+    sqls["docs_level_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, 1 AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(tf) FROM tf)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * 2.2 * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+           AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, st
+)
+SELECT doc_id, round(score, 6) AS score
+FROM sc WHERE term = '{T_HI}'
+ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     sqls["bool_should_topk"] = (
         _BM25_CTE

@@ -156,6 +156,80 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # --- large synthetic-webtext section: the sf tables are small enough
+    # that every query above is fixed-overhead-bound (BASELINE.md
+    # steady-state floors); this section builds a deterministically
+    # synthesized corpus big enough that plan quality — not Spark job
+    # latency — dominates, so the per-round bench carries a signal that
+    # can actually regress. Disable with BENCH_LARGE_DOCS=0.
+    large_docs = int(os.environ.get("BENCH_LARGE_DOCS", "120000"))
+    large: dict = {}
+    if large_docs > 0:
+        n_parts = min(cpus, 32)
+        per_part = large_docs // n_parts
+        work = tempfile.mkdtemp(prefix="rucene_bench_large_")
+        try:
+            def gen(batches):
+                from rucene_spark.webtext import make_corpus
+                for pdf in batches:
+                    for pid in pdf["id"].tolist():
+                        part = make_corpus(per_part, seed=7000 + int(pid))
+                        part["url"] = [
+                            f"https://p{int(pid):03d}.example/{i:08x}"
+                            for i in range(len(part))]
+                        yield part[["url", "warc_ts", "html", "text",
+                                    "lang"]]
+
+            corpus_dir = os.path.join(work, "corpus")
+            (spark.range(n_parts).repartition(n_parts, "id")
+             .mapInPandas(gen, "url string, warc_ts timestamp,"
+                               " html binary, text string, lang string")
+             .write.mode("overwrite").parquet(corpus_dir))
+            ldocs = spark.read.parquet(corpus_dir)
+            n_large = ldocs.count()
+
+            lidx = os.path.join(work, "idx")
+            t0 = time.time()
+            IndexWriter(spark, lidx, n_segments=n_parts,
+                        key_col="url").build(ldocs)
+            lbuild = time.time() - t0
+            large["index_build"] = round(lbuild, 4)
+            large["doc_count"] = n_large
+            large["index_docs_per_sec"] = round(n_large / lbuild, 2)
+
+            ls = IndexSearcher(spark, lidx, scoring="lucene")
+            # the Zipf(1.07) vocabulary's rank-1/2/3 terms (t000000..2)
+            # are corpus stopwords (df ~ doc_count): worst-case
+            # disjunction + an exact stopword-pair phrase
+            s1, s2, s3 = "t000000", "t000001", "t000002"
+            large_queries = {
+                "term": lambda: ls.search(
+                    TermQuery("text", s1), 10).collect(),
+                "stopword_phrase": lambda: ls.search(
+                    PhraseQuery.build("text", [s2, s1]), 10).collect(),
+                "bool_must": lambda: ls.search(
+                    QueryStringQueryBuilder(
+                        f"+{s1} +{s2}", [("text", 1.0)]).build(),
+                    10).collect(),
+                "dismax": lambda: ls.search(
+                    DisjunctionMaxQuery([TermQuery("text", s1),
+                                         TermQuery("text", s2)], 0.3),
+                    10).collect(),
+                "span_near": lambda: ls.search(
+                    SpanNearQuery([SpanTermQuery("text", s2),
+                                   SpanTermQuery("text", s1)],
+                                  slop=2, in_order=False), 10).collect(),
+            }
+            if hasattr(ls, "search_blockmax"):
+                large_queries["blockmax"] = lambda: ls.search_blockmax(
+                    [s1, s2, s3], 10).collect()
+            lreps = max(1, reps - 1)
+            for name, fn in large_queries.items():
+                med, _ = _timed(fn, lreps)
+                large[f"q_{name}"] = round(med, 4)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     total = round(build_secs + sum(v for k, v in queries.items()
                                    if k != "index_build"), 4)
     out = {
@@ -169,6 +243,7 @@ def main() -> None:
         "index_docs_per_sec": round(n_docs / build_secs, 2),
         "cpus": cpus,
         "suite_wall_secs": round(time.time() - t_suite0, 4),
+        "large": large,
     }
     print(json.dumps(out))
     spark.stop()

@@ -124,7 +124,7 @@ def batch_tokenize(texts, mode: str = "whitespace"):
     for i, text in enumerate(texts):
         if text is None:
             continue
-        if mode == "whitespace":
+        if mode == "whitespace" or mode.startswith("delimited_payload"):
             if _is_simple(text):
                 terms = [t for t in text.split(" ") if t]
                 if any(_needs_split(t) for t in terms):
@@ -136,6 +136,12 @@ def batch_tokenize(texts, mode: str = "whitespace"):
                     ]
             else:
                 terms = [t for (t, _, _, _) in whitespace_tokenize(text)]
+            if mode.startswith("delimited_payload"):
+                # payload-mode indexes store the payload-stripped term;
+                # stripping here keeps term vectors / highlighting
+                # consistent with the indexed token stream
+                d = parse_payload_mode(mode)
+                terms = [t.partition(d)[0] for t in terms]
         elif mode == "standard":
             terms = standard_tokenize(text)
         else:
@@ -420,3 +426,42 @@ def standard_tokenize(text: str) -> list[str]:
     """Lowercased word-break tokens; CJK ideographs as unigrams; 255-char cap
     (Lucene StandardTokenizer's maxTokenLength default)."""
     return [m.group(0).lower()[:255] for m in _WORD_RE.finditer(text)]
+
+
+def parse_payload_mode(mode: str) -> str:
+    """Parse ``delimited_payload`` / ``delimited_payload:<delim>`` →
+    the delimiter (default ``|``, the classic DelimitedPayloadTokenFilter
+    convention: a token ``term<delim>payload`` indexes ``term`` and
+    attaches ``payload``'s UTF-8 bytes at that position)."""
+    rest = mode[len("delimited_payload"):]
+    if not rest:
+        return "|"
+    if not rest.startswith(":") or len(rest) < 2:
+        raise ValueError(f"bad delimited_payload spec: {mode!r}")
+    return rest[1:]
+
+
+def tokenize_factorized_payload(texts, mode: str):
+    """Whitespace tokenization + per-token payload split — the payloads
+    channel of the reference's token stream (posting_reader.rs
+    ``payload()``; the reference ships no payload-emitting analyzer
+    either, so this mode is the extension-surface analogue of Lucene's
+    DelimitedPayloadTokenFilter).
+
+    Returns ``(doc_idx, codes, uniques, positions, payloads)`` where
+    ``payloads`` is an object array of ``bytes`` aligned with the token
+    stream (``b""`` for tokens without a delimiter)."""
+    delim = parse_payload_mode(mode)
+    di, terms, pos = batch_tokenize(texts, "whitespace")
+    if di.size == 0:
+        return (di, np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object), pos,
+                np.empty(0, dtype=object))
+    bare = np.empty(terms.size, dtype=object)
+    pays = np.empty(terms.size, dtype=object)
+    for i, t in enumerate(terms):
+        head, sep, tail = t.partition(delim)
+        bare[i] = head
+        pays[i] = tail.encode("utf-8") if sep else b""
+    codes, uniques = _factorize_sorted(bare)
+    return di, codes, uniques, pos, pays

@@ -83,13 +83,14 @@ _POSTINGS_PA_SCHEMA = pa.schema(
         ("dls_bin", pa.binary()),
         ("pos_bin", pa.binary()),
         ("offs_bin", pa.binary()),
+        ("pay_bin", pa.binary()),
     ]
 )
 
 
 def _invert_segment(
     pdf: pd.DataFrame, fields: list, key_col: str, analyzer: str,
-    index_offsets: bool = False,
+    index_offsets: bool = False, field_options: dict | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Pure-numpy inversion of one segment → (postings, docmeta, segstats).
 
@@ -114,7 +115,8 @@ def _invert_segment(
     # (field, term) for parquet row-group pruning
     for fname, col in sorted(fields):
         postings_f, stats_f, lens, norm_bytes = _invert_field(
-            pdf[col].tolist(), n_docs, fname, analyzer, index_offsets)
+            pdf[col].tolist(), n_docs, fname, analyzer, index_offsets,
+            (field_options or {}).get(fname, "positions"))
         suffix = "" if fname == field_names[0] else f"_{fname}"
         docmeta[f"doc_len{suffix}"] = lens
         docmeta[f"norm_byte{suffix}"] = norm_bytes
@@ -136,15 +138,35 @@ def _invert_segment(
 
 def _invert_field(
     texts: list, n_docs: int, fname: str, analyzer: str,
-    index_offsets: bool = False,
+    index_offsets: bool = False, index_options: str = "positions",
 ) -> tuple[pd.DataFrame, pd.DataFrame, np.ndarray, np.ndarray]:
     """Invert one field of one segment → (postings, segstats, lens, norms).
 
     Overlap tokens (pos_incr = 0, e.g. synonym expansions) index and match
     like any other token but are EXCLUDED from the field length used for
     norms/dl (doc_consumer.rs:906-926 ``num_overlap``;
-    bm25_similarity.rs:86 ``num_terms = length - num_overlap``)."""
-    if index_offsets:
+    bm25_similarity.rs:86 ``num_terms = length - num_overlap``).
+
+    ``index_options`` mirrors the reference's per-field posting levels
+    (index_options.rs:18-24): ``"positions"`` (full, the default),
+    ``"freqs"`` (docs + term frequencies, no position stream — phrase/span
+    queries on the field are an error), ``"docs"`` (docs only: stored tf
+    is the constant 1, so freq()==1 and totalTermFreq==docFreq, exactly
+    the reference's DOCS degradation; BM25 then scores with freq=1 while
+    norms still encode the true field length). Lower levels skip the
+    position bytes entirely — a docs-only tag/keyword field pays no
+    positional storage."""
+    pays = None
+    if analyzer.startswith("delimited_payload"):
+        # payloads channel (posting_reader.rs payload(); Lucene's
+        # DelimitedPayloadTokenFilter pattern) — per-position bytes ride
+        # a pay_bin sidecar exactly like the offsets channel
+        from .analysis import tokenize_factorized_payload
+        di, codes, uniques, pos, pays = tokenize_factorized_payload(
+            texts, analyzer)
+        overlap = None
+        off_s = off_e = None
+    elif index_offsets and index_options == "positions":
         # offsets channel (IndexOptions::DocsAndFreqsAndPositionsAndOffsets,
         # index_options.rs:18-24): per-token char offsets ride along the
         # stream and land in a per-block `offs_bin` sidecar; the
@@ -188,19 +210,26 @@ def _invert_field(
     run_ends = np.append(run_starts[1:], t_s.size)
     tf_raw = run_ends - run_starts
     tf = np.minimum(tf_raw, TERM_FREQ_LIMIT)
+    if index_options == "docs":
+        # DOCS level: only membership is stored — freq()==1 everywhere,
+        # ttf==df, max_tf==1 (index_options.rs DOCS semantics)
+        tf = np.ones_like(tf)
 
     run_term = t_s[run_starts]
     run_doc = d_s[run_starts]
     run_norm = norm_bytes[run_doc]
     run_dl = lens[run_doc]
 
-    # capped position slices per (term, doc) run
-    within = np.arange(t_s.size) - np.repeat(run_starts, tf_raw)
-    keep = within < TERM_FREQ_LIMIT
-    pos_capped = p_s[keep]
-    if off_s is not None:
-        offs_capped = off_s[order][keep]
-        offe_capped = off_e[order][keep]
+    if index_options == "positions":
+        # capped position slices per (term, doc) run
+        within = np.arange(t_s.size) - np.repeat(run_starts, tf_raw)
+        keep = within < TERM_FREQ_LIMIT
+        pos_capped = p_s[keep]
+        if off_s is not None:
+            offs_capped = off_s[order][keep]
+            offe_capped = off_e[order][keep]
+        if pays is not None:
+            pays_capped = pays[order][keep]
 
     # term boundaries over the runs
     term_starts = np.flatnonzero(new_term[run_starts])
@@ -255,26 +284,30 @@ def _invert_field(
         return out
 
     tf_u = tf.astype(np.uint64)
-    # positions: per-doc delta chains (first position absolute), batched
-    pos_u = pos_capped.astype(np.uint64)
-    pdeltas = np.empty(pos_u.size, dtype=np.uint64)
-    if pos_u.size:
-        pdeltas[0] = pos_u[0]
-        pdeltas[1:] = pos_u[1:] - pos_u[:-1]
-        run_pos_starts = np.cumsum(tf) - tf
-        nz = tf > 0
-        pdeltas[run_pos_starts[nz]] = pos_u[run_pos_starts[nz]]
+    if index_options != "positions":
+        # freqs/docs levels carry no position (or offset) stream at all
+        pos_bins = [b""] * n_blocks
     else:
-        run_pos_starts = np.zeros(n_runs, dtype=np.int64)
-    pbuf, pnbytes = varint_encode_sized(pdeltas)
-    praw = pbuf.tobytes()
-    pos_offsets = np.append(np.cumsum(tf) - tf, pos_u.size)
-    pbyte_off = np.concatenate(([0], np.cumsum(pnbytes)))
-    p_lo = pbyte_off[pos_offsets[blk_starts]]
-    p_hi = pbyte_off[pos_offsets[blk_ends]]
-    pos_bins = [praw[p_lo[b]:p_hi[b]] for b in range(n_blocks)]
+        # positions: per-doc delta chains (first position absolute), batched
+        pos_u = pos_capped.astype(np.uint64)
+        pdeltas = np.empty(pos_u.size, dtype=np.uint64)
+        if pos_u.size:
+            pdeltas[0] = pos_u[0]
+            pdeltas[1:] = pos_u[1:] - pos_u[:-1]
+            run_pos_starts = np.cumsum(tf) - tf
+            nz = tf > 0
+            pdeltas[run_pos_starts[nz]] = pos_u[run_pos_starts[nz]]
+        else:
+            run_pos_starts = np.zeros(n_runs, dtype=np.int64)
+        pbuf, pnbytes = varint_encode_sized(pdeltas)
+        praw = pbuf.tobytes()
+        pos_offsets = np.append(np.cumsum(tf) - tf, pos_u.size)
+        pbyte_off = np.concatenate(([0], np.cumsum(pnbytes)))
+        p_lo = pbyte_off[pos_offsets[blk_starts]]
+        p_hi = pbyte_off[pos_offsets[blk_ends]]
+        pos_bins = [praw[p_lo[b]:p_hi[b]] for b in range(n_blocks)]
 
-    if off_s is not None:
+    if off_s is not None and index_options == "positions":
         # interleaved (start, end-start) varints, one pass for the whole
         # segment, sliced per block at 2x the position boundaries
         inter = np.empty(2 * offs_capped.size, dtype=np.uint64)
@@ -288,6 +321,12 @@ def _invert_field(
         offs_bins = [oraw[o_lo[b]:o_hi[b]] for b in range(n_blocks)]
     else:
         offs_bins = [b""] * n_blocks
+
+    if pays is not None and index_options == "positions":
+        from .codec import batch_pack_payloads
+        pay_bins = batch_pack_payloads(list(pays_capped), tf, num_docs)
+    else:
+        pay_bins = [b""] * n_blocks
 
     postings = pd.DataFrame(
         {
@@ -307,6 +346,7 @@ def _invert_field(
             "dls_bin": encode_stream(run_dl.astype(np.uint64)),
             "pos_bin": pos_bins,
             "offs_bin": offs_bins,
+            "pay_bin": pay_bins,
         }
     )
     segstats = pd.DataFrame(
@@ -335,6 +375,7 @@ def _build_segment_files(
     key_col: str,
     analyzer: str,
     index_offsets: bool = False,
+    field_options: dict | None = None,
 ) -> pd.DataFrame:
     """applyInPandas body: build + persist one segment, return manifest row.
 
@@ -351,7 +392,7 @@ def _build_segment_files(
     t0 = time.time()
     pdf = pdf.drop(columns=["segment_id"])
     postings, docmeta, segstats = _invert_segment(
-        pdf, fields, key_col, analyzer, index_offsets)
+        pdf, fields, key_col, analyzer, index_offsets, field_options)
     # `seg` is stored IN the files (constant column, ~free under RLE): the
     # manifest — not directory discovery — decides which dirs are live,
     # which is what makes every publish a single atomic manifest swap
@@ -432,16 +473,40 @@ class IndexWriter:
         """``fields`` is the multi-field document model: a list of
         ``(field_name, source_col)`` pairs, each independently indexed with
         its own postings/norms/stats (field.rs:23-29). Defaults to the
-        single ``(field, text_col)`` pair for back-compat."""
+        single ``(field, text_col)`` pair for back-compat. An entry may
+        carry a third element — the field's index-options level
+        (index_options.rs:18-24): ``"positions"`` (default), ``"freqs"``,
+        or ``"docs"``; lower levels skip the position bytes and make
+        phrase/span queries on the field an error."""
         self.spark = spark
         self.index_dir = index_dir
         self.n_segments = n_segments
         self.key_col = key_col
-        self.fields = list(fields) if fields else [(field, text_col)]
+        raw_fields = list(fields) if fields else [(field, text_col)]
+        self.fields: list[tuple[str, str]] = []
+        self.field_options: dict[str, str] = {}
+        for spec in raw_fields:
+            fn, col = spec[0], spec[1]
+            opt = spec[2] if len(spec) > 2 else "positions"
+            if opt not in ("docs", "freqs", "positions"):
+                raise ValueError(
+                    f"unknown index options {opt!r} for field {fn!r}"
+                    " (expected docs | freqs | positions)")
+            if index_offsets and opt != "positions":
+                raise ValueError(
+                    f"index_offsets requires positions, but field {fn!r}"
+                    f" is indexed at level {opt!r}")
+            self.fields.append((fn, col))
+            self.field_options[fn] = opt
         if len({fn for fn, _ in self.fields}) != len(self.fields):
             raise ValueError(f"duplicate field names: {self.fields}")
         self.text_col = self.fields[0][1]
         self.field = self.fields[0][0]
+        if index_offsets and analyzer.startswith("delimited_payload"):
+            raise ValueError(
+                "index_offsets and delimited_payload are mutually"
+                " exclusive (char offsets of payload-stripped tokens are"
+                " not recoverable)")
         self.analyzer = analyzer
         self.partitioner = partitioner
         self.store_cols = store_cols
@@ -490,13 +555,13 @@ class IndexWriter:
         src = df.select(self.key_col, *self._field_cols, *extra).withColumn(
             "segment_id", seg)
 
-        index_dir, fields, key_col, analyzer, ioffs = (
+        index_dir, fields, key_col, analyzer, ioffs, fopts = (
             self.index_dir, self.fields, self.key_col, self.analyzer,
-            self.index_offsets)
+            self.index_offsets, self.field_options)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _build_segment_files(pdf, index_dir, fields, key_col,
-                                        analyzer, ioffs)
+                                        analyzer, ioffs, fopts)
 
         rows = (src.groupBy("segment_id")
                 .applyInPandas(fn, _MANIFEST_ROW_SCHEMA).collect())
@@ -556,17 +621,18 @@ class IndexWriter:
         src = self._with_segment_id(
             df.select(self.key_col, *self._field_cols, *extra))
 
-        index_dir, fields, key_col, analyzer, ioffs = (
+        index_dir, fields, key_col, analyzer, ioffs, fopts = (
             self.index_dir,
             self.fields,
             self.key_col,
             self.analyzer,
             self.index_offsets,
+            self.field_options,
         )
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _build_segment_files(pdf, index_dir, fields, key_col,
-                                        analyzer, ioffs)
+                                        analyzer, ioffs, fopts)
 
         rows = (
             src.groupBy("segment_id")
@@ -585,6 +651,9 @@ class IndexWriter:
             "field_cols": {fn_: c for fn_, c in self.fields},
             "analyzer": self.analyzer,
             "index_offsets": self.index_offsets,
+            # per-field posting level (index_options.rs:18-24); absent
+            # entries (older manifests) default to "positions"
+            "field_index_options": dict(self.field_options),
             "partitioner": self.partitioner,
             "key_col": self.key_col,
             "n_segments": self.n_segments,

@@ -416,3 +416,64 @@ def unpack_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     for s, e in zip(starts, ends):
         out.append(np.cumsum(flat[s:e]))
     return out
+
+
+# --- payloads sidecar (opt-in, like offsets) --------------------------------
+
+
+def pack_payloads(payloads: list) -> bytes:
+    """Encode per-position payload byte-strings — the payloads channel of
+    the postings format (posting_reader.rs ``payload()``; payloads live
+    in the same .pos/.pay stream family as offsets). Layout per block:
+    a varint length per position, then the concatenated payload bytes —
+    lengths decode in one vectorized pass, bytes split by cumsum. A
+    position with no payload is a zero-length entry (the reference's
+    ``None`` payload)."""
+    if not payloads:
+        return b""
+    lens = np.asarray([len(p) if p else 0 for p in payloads],
+                      dtype=np.uint64)
+    return varint_encode(lens) + b"".join(p for p in payloads if p)
+
+
+def unpack_payloads(buf: bytes, n_positions: int) -> list:
+    """Inverse of :func:`pack_payloads` → list of ``bytes`` (empty bytes
+    for positions without payloads), aligned with the position stream."""
+    if n_positions == 0:
+        return []
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)[:n_positions]
+    consumed = int(ends[-1]) + 1
+    lens = varint_decode(buf[:consumed], n_positions).astype(np.int64)
+    raw = buf[consumed:]
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    return [raw[bounds[i]:bounds[i + 1]] for i in range(n_positions)]
+
+
+def batch_unpack_payloads(bufs: list, n_per_buf: np.ndarray) -> list:
+    """Decode many :func:`pack_payloads` buffers → one concatenated list
+    (per-buffer parse: lengths and bytes interleave across buffers, so a
+    single joined pass is not possible; payloads are an opt-in sidecar)."""
+    out: list = []
+    for buf, n in zip(bufs, np.asarray(n_per_buf, dtype=np.int64)):
+        out.extend(unpack_payloads(buf, int(n)))
+    return out
+
+
+def batch_pack_payloads(flat_payloads: list, tfs: np.ndarray,
+                        docs_per_row: np.ndarray) -> list:
+    """Per-row :func:`pack_payloads` bytes from one concatenated payload
+    list: ``tfs`` gives each doc's position count, ``docs_per_row``
+    slices docs into rows (blocks)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    docs_per_row = np.asarray(docs_per_row, dtype=np.int64)
+    row_doc_ends = np.cumsum(docs_per_row)
+    row_doc_starts = row_doc_ends - docs_per_row
+    pos_prefix = np.concatenate(([0], np.cumsum(tfs)))
+    out: list = []
+    for r in range(docs_per_row.size):
+        lo = int(pos_prefix[row_doc_starts[r]])
+        hi = int(pos_prefix[row_doc_ends[r]])
+        out.append(pack_payloads(flat_payloads[lo:hi]))
+    return out

@@ -54,9 +54,11 @@ from .codec import (
     batch_delta_decode,
     batch_pack_ints,
     batch_pack_offsets,
+    batch_pack_payloads,
     batch_pack_positions,
     batch_unpack,
     batch_unpack_offsets,
+    batch_unpack_payloads,
     batch_unpack_positions,
 )
 
@@ -67,7 +69,7 @@ _BLOCK_SCHEMA_DDL = (
     "first_doc long, last_doc long, "
     "max_tf int, max_norm_byte int, min_dl long, ttf long, "
     "docs_bin binary, tfs_bin binary, norms_bin binary, dls_bin binary, "
-    "pos_bin binary, offs_bin binary"
+    "pos_bin binary, offs_bin binary, pay_bin binary"
 )
 
 
@@ -484,8 +486,14 @@ class SegmentMerger:
                                      ).astype(np.int64)
                 dls = batch_unpack(pdf["dls_bin"].tolist(), counts
                                    ).astype(np.int64)
-                flat_pos, _ = batch_unpack_positions(
-                    pdf["pos_bin"].tolist(), tfs)
+                # docs/freqs-level blocks (index_options.rs lower levels)
+                # carry no position bytes: decode with a zeroed per-row tf
+                # so the varint cursor never runs into the next block
+                pos_list = pdf["pos_bin"].tolist()
+                has_pos = np.asarray([len(b) > 0 for b in pos_list],
+                                     dtype=bool)
+                tfs_pos = tfs * np.repeat(has_pos, counts)
+                flat_pos, _ = batch_unpack_positions(pos_list, tfs_pos)
                 offs_list = (pdf["offs_bin"].tolist()
                              if "offs_bin" in pdf.columns
                              else [b""] * n_rows)
@@ -494,6 +502,17 @@ class SegmentMerger:
                 has_offs = all(len(b) > 0 for b in offs_list) and tfs.sum() > 0
                 if has_offs:
                     o_starts, o_ends = batch_unpack_offsets(offs_list, tfs)
+                # payloads sidecar: same carry rule as offsets
+                pay_list = (pdf["pay_bin"].tolist()
+                            if "pay_bin" in pdf.columns
+                            else [b""] * n_rows)
+                has_pays = all(len(b) > 0 for b in pay_list) and tfs.sum() > 0
+                if has_pays:
+                    row_pos_counts = np.add.reduceat(
+                        tfs_pos, np.cumsum(counts) - counts)
+                    pays_l = batch_unpack_payloads(pay_list, row_pos_counts)
+                    flat_pays = np.empty(len(pays_l), dtype=object)
+                    flat_pays[:] = pays_l
 
                 flat_seg = np.repeat(segs, counts)
                 keep = np.ones(docs.size, dtype=bool)
@@ -534,14 +553,20 @@ class SegmentMerger:
                 gaps[1:] = k_docs[1:] - k_docs[:-1]
                 gaps[s_starts] = k_docs[s_starts]
 
-                pos_keep = np.repeat(keep, tfs)
+                pos_keep = np.repeat(keep, tfs_pos)
                 k_pos = flat_pos[pos_keep].astype(np.uint64)
+                k_tfs_pos = tfs_pos[keep]
                 if has_offs:
                     offs_out = batch_pack_offsets(
                         o_starts[pos_keep], o_ends[pos_keep],
-                        k_tfs, kept_s)
+                        k_tfs_pos, kept_s)
                 else:
                     offs_out = [b""] * int(surv.sum())
+                if has_pays:
+                    pays_out = batch_pack_payloads(
+                        list(flat_pays[pos_keep]), k_tfs_pos, kept_s)
+                else:
+                    pays_out = [b""] * int(surv.sum())
 
                 rank_arr = np.asarray(
                     [b_rank.value[int(s)] for s in segs], dtype=np.int64)
@@ -567,8 +592,10 @@ class SegmentMerger:
                         k_norms.astype(np.uint64), kept_s),
                     "dls_bin": batch_pack_ints(
                         k_dls.astype(np.uint64), kept_s),
-                    "pos_bin": batch_pack_positions(k_pos, k_tfs, kept_s),
+                    "pos_bin": batch_pack_positions(
+                        k_pos, k_tfs_pos, kept_s),
                     "offs_bin": offs_out,
+                    "pay_bin": pays_out,
                 })
 
         merged = postings_run.mapInPandas(remap, _BLOCK_SCHEMA_DDL)

@@ -64,6 +64,7 @@ from .codec import (
     batch_unpack_positions,
     delta_decode,
     unpack_ints,
+    varint_decode,
 )
 from .phrase import exact_phrase_freq, sloppy_phrase_freq
 from .query import (
@@ -119,6 +120,10 @@ class IndexSearcher:
         # the global corpus size (our documented global-stats divergence)
         self.fields: list[str] = m.get("fields") or [m["field"]]
         self.default_field: str = m["field"]
+        # per-field posting level; pre-option manifests are full-positions
+        self.field_options: dict[str, str] = (
+            m.get("field_index_options") or
+            {f_: "positions" for f_ in self.fields})
         fstats = m.get("field_stats") or {m["field"]: {"sum_ttf": m["sum_ttf"]}}
         self.avgdl_f: dict[str, np.float32] = {}
         self.cache_f: dict[str, np.ndarray] = {}
@@ -197,6 +202,18 @@ class IndexSearcher:
         if field not in self.fields:
             raise ValueError(
                 f"unknown field {field!r}; index has {self.fields}")
+
+    def _check_positions(self, field: str) -> None:
+        """Positional queries against a docs/freqs-level field are a hard
+        error, matching the reference's IllegalState on running a
+        phrase/span over a field indexed without positions
+        (index_options.rs:18-24; posting_iterator position checks)."""
+        opt = self.field_options.get(field, "positions")
+        if opt != "positions":
+            raise ValueError(
+                f"field {field!r} was indexed at level {opt!r} (no"
+                " positions); phrase/span queries require"
+                " index options 'positions'")
 
     # ------------------------------------------------------------------
     # public API
@@ -770,6 +787,46 @@ class IndexSearcher:
             ],
         }
 
+    def payloads(self, field: str, term: str, seg: int,
+                 doc: int) -> list[tuple[int, bytes]]:
+        """Per-position payloads of one (seg, doc, term) — the
+        ``PostingsEnum::payload()`` surface (posting_reader.rs payload();
+        the reference exposes payloads via the postings iterator, it ships
+        no payload-consuming query — neither do we). Returns
+        ``[(position, payload_bytes), ...]``; positions without payloads
+        carry ``b""``. Empty list when the doc/term has no postings or the
+        field was not indexed with a payload-emitting analyzer
+        (``delimited_payload`` mode)."""
+        from .codec import unpack_payloads
+
+        self._check_field(field)
+        self._check_positions(field)
+        blocks = self._postings.filter(
+            (F.col("field") == field) & (F.col("term") == term)
+            & (F.col("seg") == seg)
+            & (F.col("first_doc") <= doc) & (F.col("last_doc") >= doc)
+        ).collect()
+        for b in blocks:
+            d = delta_decode(unpack_ints(b["docs_bin"], b["num_docs"]))
+            idx = np.flatnonzero(d == doc)
+            if not idx.size:
+                continue
+            tfs = unpack_ints(b["tfs_bin"], b["num_docs"]).astype(np.int64)
+            lo = int(tfs[:idx[0]].sum())
+            tf = int(tfs[idx[0]])
+            flat_pos = varint_decode(b["pos_bin"], int(tfs.sum())
+                                     ).astype(np.int64)
+            # per-doc delta chains: cumsum within this doc's slice
+            pos = np.cumsum(flat_pos[lo:lo + tf])
+            pay_bin = b["pay_bin"] if "pay_bin" in b.__fields__ else b""
+            if pay_bin:
+                pays = unpack_payloads(bytes(pay_bin), int(tfs.sum()))
+                doc_pays = [bytes(p) for p in pays[lo:lo + tf]]
+            else:
+                doc_pays = [b""] * tf
+            return list(zip(pos.tolist(), doc_pays))
+        return []
+
     def _doc_positions(self, field: str, uniq_terms: list[str],
                        ti_of: dict, seg: int, doc: int):
         """Per-term positions of one (seg, doc) plus its (norm_byte, dl) —
@@ -871,6 +928,7 @@ class IndexSearcher:
         same arithmetic the `_phrase_frame` JVM/numpy paths compute),
         idf summed over terms in phrase order."""
         self._check_field(q.field)
+        self._check_positions(q.field)
         stats = self._stats_for([(q.field, t) for t in q.terms])
         if any((q.field, t) not in stats for t in q.terms):
             return {"match": False, "value": 0.0,
@@ -908,6 +966,7 @@ class IndexSearcher:
             q = q.query
         field = q.field
         self._check_field(field)
+        self._check_positions(field)
         terms = span_terms(q)
         stats = self._stats_for([(field, t) for t in terms])
         uniq_terms = sorted(set(terms))
@@ -1331,6 +1390,7 @@ class IndexSearcher:
         sequential, phrase_scorer.rs:537-575) on the conjunction-filtered
         candidate set."""
         self._check_field(q.field)
+        self._check_positions(q.field)
         if any((q.field, t) not in stats for t in q.terms):
             return self.spark.createDataFrame([], self._score_schema)
         idf_total = np.float32(0.0)
@@ -1495,6 +1555,7 @@ class IndexSearcher:
 
         field = q.field
         self._check_field(field)
+        self._check_positions(field)
         terms = span_terms(q)
         uniq_terms = sorted(set(terms))
         ti_of = {t: i for i, t in enumerate(uniq_terms)}

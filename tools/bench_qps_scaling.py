@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Query-SERVING throughput scaling at two core counts (north_rule evidence).
+
+The build-side scaling bench (tools/bench_scaling.py) measures indexing
+throughput at N and 4N cores. This tool measures the other half of
+BASELINE.json's metric — BM25 top-k query serving — as a THROUGHPUT:
+a fixed batch of reference-set queries is served by a pool of concurrent
+driver threads (2 x cores streams, the realistic serving shape: a search
+tier runs many queries at once, not one query hogging the cluster), on
+the SAME prebuilt index, at ``local[N]`` and ``local[4N]``.  Reports
+queries/sec at both levels plus scaling efficiency
+``qps(4N) / (4 x qps(N))``.
+
+Per-level flow: fresh spark-submit-equivalent subprocess (so each level
+gets its own JVM sized to its core count), warm-up pass over every query
+class, then ``SCALE_QPS_PASSES`` timed passes over the whole batch.
+
+Environment:
+  SCALE_QPS_DOCS    corpus size               (default 240000)
+  SCALE_QPS_N       small core count          (default 2; big = 4N)
+  SCALE_QPS_PASSES  timed passes per level    (default 3)
+  SCALE_QPS_OUT     output JSON filename      (default BENCH_QPS_SCALING.json)
+
+Writes {repo}/BENCH_QPS_SCALING.json and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = int(os.environ.get("SCALE_QPS_DOCS", "240000"))
+N_SMALL = int(os.environ.get("SCALE_QPS_N", "2"))
+N_BIG = 4 * N_SMALL
+PASSES = int(os.environ.get("SCALE_QPS_PASSES", "3"))
+TMPFS = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+_WORKER = r"""
+import json, os, sys, time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.environ["RS_REPO"])
+cores = int(os.environ["RS_CORES"])
+passes = int(os.environ["RS_PASSES"])
+
+from pyspark.sql import SparkSession
+
+from rucene_spark.query import QueryStringQueryBuilder
+from rucene_spark.search import IndexSearcher
+
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .appName(f"rucene-qps-{cores}")
+         .config("spark.sql.shuffle.partitions", str(cores))
+         .config("spark.scheduler.mode", "FAIR")
+         .config("spark.ui.enabled", "false")
+         .config("spark.local.dir", os.environ["RS_TMP"])
+         .config("spark.driver.memory", "16g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+searcher = IndexSearcher(spark, os.environ["RS_INDEX"])
+qs_list = json.loads(os.environ["RS_QUERIES"])
+queries = [QueryStringQueryBuilder(qs, [("text", 1.0)]).build()
+           for qs in qs_list]
+
+def serve(q):
+    return searcher.search(q, 10).collect()
+
+# warm-up: every query once (stats memoized, frames planned, JIT warm)
+n_streams = 2 * cores
+with ThreadPoolExecutor(n_streams) as pool:
+    list(pool.map(serve, queries))
+    walls = []
+    for _ in range(passes):
+        t0 = time.time()
+        list(pool.map(serve, queries * 4))
+        walls.append(time.time() - t0)
+
+n_served = 4 * len(queries)
+print(json.dumps({
+    "cores": cores,
+    "streams": n_streams,
+    "queries_per_pass": n_served,
+    "wall_secs_runs": [round(w, 3) for w in walls],
+    "qps_runs": [round(n_served / w, 3) for w in walls],
+}))
+"""
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    corpus = f"/tmp/rucene_scale_corpus_{DOCS}.parquet"
+    if not os.path.exists(corpus):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "rucene_spark", "cli.py"),
+             "corpus", "--docs", str(DOCS), "--out", corpus],
+            check=True, capture_output=True, text=True, timeout=1800,
+            env=dict(os.environ, PYTHONPATH=REPO))
+
+    # one shared index, built once at the BIG level (build scaling is the
+    # other tool's job; serving reads the same files at both levels)
+    idx = os.path.join(TMPFS, f"rucene-qps-idx-{DOCS}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from pyspark.sql import SparkSession
+
+        from rucene_spark.build import IndexWriter
+
+        spark = (SparkSession.builder.master(f"local[{N_BIG}]")
+                 .config("spark.sql.shuffle.partitions", str(N_BIG))
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.local.dir", f"{TMPFS}/spark-qps-tmp")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(corpus)
+        IndexWriter(spark, idx, n_segments=64, key_col="url").build(docs)
+        spark.stop()
+
+    # reference query set from a same-distribution sample (deterministic)
+    import pyarrow.parquet as pq
+
+    from rucene_spark.webtext import make_query_strings
+
+    sample = pq.read_table(corpus, columns=["text"]).slice(0, 4000).to_pandas()
+    qs_list = make_query_strings(sample)
+
+    results: dict = {
+        "docs": DOCS,
+        "levels": [f"local[{N_SMALL}]", f"local[{N_BIG}]"],
+        "query_set_size": len(qs_list),
+    }
+    per_level: dict[int, dict] = {}
+    # interleave levels pass-group-by-pass-group via separate processes:
+    # each level's JVM is fresh, and host-load drift is shared
+    for cores in (N_SMALL, N_BIG):
+        env = dict(os.environ, RS_REPO=REPO, RS_CORES=str(cores),
+                   RS_PASSES=str(PASSES), RS_INDEX=idx,
+                   RS_TMP=f"{TMPFS}/spark-qps-tmp",
+                   RS_QUERIES=json.dumps(qs_list))
+        out = subprocess.run([sys.executable, "-c", _WORKER], env=env,
+                             capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-4000:])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["qps_median"] = statistics.median(r["qps_runs"])
+        per_level[cores] = r
+        print(f"local[{cores}]: {r['qps_median']} qps", file=sys.stderr)
+
+    eff = per_level[N_BIG]["qps_median"] / (
+        4.0 * per_level[N_SMALL]["qps_median"])
+    results["serving"] = {
+        f"local[{N_SMALL}]": per_level[N_SMALL],
+        f"local[{N_BIG}]": per_level[N_BIG],
+        "scaling_efficiency": round(eff, 3),
+        "requirement": ">= 0.8 (north_rule, serving-throughput axis)",
+    }
+    out_name = os.environ.get("SCALE_QPS_OUT", "BENCH_QPS_SCALING.json")
+    with open(os.path.join(REPO, out_name), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
