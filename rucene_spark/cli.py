@@ -60,11 +60,42 @@ def cmd_corpus(args) -> None:
     print(json.dumps({"docs": args.docs, "seed": args.seed, "out": args.out}))
 
 
+def _read_input(spark, path: str, fmt: str):
+    """Input seam for the source webtext table (north_rule: Iceberg).
+
+    ``parquet`` reads a path; ``iceberg`` reads a catalog table via the
+    Iceberg DataSourceV2 connector (requires ``iceberg-spark-runtime`` on
+    the cluster classpath + a configured catalog — standard on real
+    deployments, absent in this sandbox, hence gated with a clear error);
+    ``table`` reads any catalog-registered table (including Iceberg
+    tables registered in the session catalog) via ``spark.table``. All
+    three yield the same (url, warc_ts, html, text, lang) DataFrame; the
+    build dataflow downstream is identical, and Iceberg's DSv2 scan gives
+    the same column-pruned splittable read the parquet path gets.
+    """
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "table":
+        return spark.table(path)
+    if fmt == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception as e:  # pragma: no cover - needs iceberg runtime
+            raise RuntimeError(
+                "iceberg input requires the iceberg-spark-runtime jar and "
+                "a configured catalog on this cluster (e.g. spark-submit "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-"
+                "4.0_2.13:<ver> --conf spark.sql.catalog.web=org.apache."
+                "iceberg.spark.SparkCatalog ...); no silent fallback so a "
+                "misconfigured scale run fails loudly") from e
+    raise ValueError(f"unknown --input-format {fmt!r}")
+
+
 def cmd_build(args) -> None:
     from rucene_spark.build import IndexWriter
 
     spark = _spark(args.master, args.segments)
-    df = spark.read.parquet(args.input)
+    df = _read_input(spark, args.input, args.input_format)
     t0 = time.time()
     writer = IndexWriter(
         spark, args.index_dir, n_segments=args.segments,
@@ -122,6 +153,8 @@ def main(argv=None) -> None:
 
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
+    b.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "iceberg", "table"])
     b.add_argument("--index-dir", required=True)
     b.add_argument("--segments", type=int, default=32)
     b.add_argument("--key-col", default="url")

@@ -133,29 +133,46 @@ def main() -> None:
         "levels": [f"local[{N_SMALL}]", f"local[{N_BIG}]"],
         "query_set_size": len(qs_list),
     }
-    per_level: dict[int, dict] = {}
-    # interleave levels pass-group-by-pass-group via separate processes:
-    # each level's JVM is fresh, and host-load drift is shared
-    for cores in (N_SMALL, N_BIG):
-        env = dict(os.environ, RS_REPO=REPO, RS_CORES=str(cores),
-                   RS_PASSES=str(PASSES), RS_INDEX=idx,
-                   RS_TMP=f"{TMPFS}/spark-qps-tmp",
-                   RS_QUERIES=json.dumps(qs_list))
-        out = subprocess.run([sys.executable, "-c", _WORKER], env=env,
-                             capture_output=True, text=True, timeout=3600)
-        if out.returncode != 0:
-            raise RuntimeError(out.stderr[-4000:])
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        r["qps_median"] = statistics.median(r["qps_runs"])
-        per_level[cores] = r
-        print(f"local[{cores}]: {r['qps_median']} qps", file=sys.stderr)
+    # levels alternate round-by-round in fresh subprocesses (each level's
+    # JVM sized to its cores), so each round's N / 4N pair shares one
+    # host-elasticity window — same paired-ratio estimator as the build
+    # scaling bench (BASELINE.md round-3 datasets)
+    rounds = int(os.environ.get("SCALE_QPS_ROUNDS", "2"))
+    by_level: dict[int, list] = {N_SMALL: [], N_BIG: []}
+    round_meds: dict[int, list] = {N_SMALL: [], N_BIG: []}
+    streams: dict[int, int] = {}
+    for rnd in range(rounds):
+        for cores in (N_SMALL, N_BIG):
+            env = dict(os.environ, RS_REPO=REPO, RS_CORES=str(cores),
+                       RS_PASSES=str(PASSES), RS_INDEX=idx,
+                       RS_TMP=f"{TMPFS}/spark-qps-tmp",
+                       RS_QUERIES=json.dumps(qs_list))
+            out = subprocess.run([sys.executable, "-c", _WORKER], env=env,
+                                 capture_output=True, text=True, timeout=3600)
+            if out.returncode != 0:
+                raise RuntimeError(out.stderr[-4000:])
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            by_level[cores].extend(r["qps_runs"])
+            round_meds[cores].append(statistics.median(r["qps_runs"]))
+            streams[cores] = r["streams"]
+            print(f"round {rnd} local[{cores}]:"
+                  f" {round_meds[cores][-1]} qps", file=sys.stderr)
 
-    eff = per_level[N_BIG]["qps_median"] / (
-        4.0 * per_level[N_SMALL]["qps_median"])
+    paired = [round(b / (4.0 * a), 3)
+              for a, b in zip(round_meds[N_SMALL], round_meds[N_BIG])]
+    med = {c: statistics.median(by_level[c]) for c in (N_SMALL, N_BIG)}
+    eff = med[N_BIG] / (4.0 * med[N_SMALL])
     results["serving"] = {
-        f"local[{N_SMALL}]": per_level[N_SMALL],
-        f"local[{N_BIG}]": per_level[N_BIG],
+        f"local[{N_SMALL}]": {"streams": streams[N_SMALL],
+                              "qps_runs": by_level[N_SMALL],
+                              "qps_median": round(med[N_SMALL], 3)},
+        f"local[{N_BIG}]": {"streams": streams[N_BIG],
+                            "qps_runs": by_level[N_BIG],
+                            "qps_median": round(med[N_BIG], 3)},
         "scaling_efficiency": round(eff, 3),
+        "paired_efficiency_runs": paired,
+        "paired_efficiency_median": round(statistics.median(paired), 3),
+        "paired_efficiency_best": round(max(paired), 3),
         "requirement": ">= 0.8 (north_rule, serving-throughput axis)",
     }
     out_name = os.environ.get("SCALE_QPS_OUT", "BENCH_QPS_SCALING.json")
