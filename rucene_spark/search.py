@@ -56,6 +56,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from . import storage
 from .bm25 import avgdl32, idf32, norm_cache32
 from .build import load_manifest, read_seg_table
 from .codec import (
@@ -164,17 +165,15 @@ class IndexSearcher:
         self._deleted = None
         self._bcast_deleted = True
         tomb_dir = os.path.join(index_dir, "tombstones")
-        if os.path.isdir(tomb_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(tomb_dir)):
+        if storage.is_dir(tomb_dir) and any(
+                f.endswith(".parquet") for f in storage.listdir(tomb_dir)):
             # broadcast only while the tombstone set is small; above the
             # cap fall back to a shuffle anti-join (tombstones accumulate
-            # unboundedly between merges — a broadcast would not)
-            import pyarrow.parquet as _pq
-            n_tomb = 0
-            for f in os.listdir(tomb_dir):
-                if f.endswith(".parquet"):
-                    n_tomb += _pq.ParquetFile(
-                        os.path.join(tomb_dir, f)).metadata.num_rows
+            # unboundedly between merges — a broadcast would not); the
+            # count is footer-metadata only, through the storage seam
+            n_tomb = sum(
+                storage.parquet_num_rows(os.path.join(tomb_dir, f))
+                for f in storage.listdir(tomb_dir) if f.endswith(".parquet"))
             self._bcast_deleted = n_tomb <= 500_000
             tomb = spark.read.parquet(tomb_dir)
             if "gen" not in tomb.columns:

@@ -116,3 +116,10 @@ def read_parquet(path: str, columns: list[str] | None = None):
     mirror of ``write_parquet`` (merge tasks read their segment's staged
     delete slice through this seam, never raw POSIX paths)."""
     return pq.read_table(path, columns=columns)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata only — no data pages read.
+    S3: one ranged GET of the footer. Used by the searcher to size the
+    tombstone set before choosing broadcast vs shuffle anti-join."""
+    return pq.ParquetFile(path).metadata.num_rows

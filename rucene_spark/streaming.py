@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame
 
+from . import storage
 from .build import MANIFEST, IndexWriter
 
 
@@ -37,7 +38,7 @@ def stream_index(
         spark = batch_df.sparkSession
         w = IndexWriter(spark, index_dir, n_segments=segments_per_batch,
                         key_col=key_col, text_col=text_col)
-        if os.path.exists(os.path.join(index_dir, MANIFEST)):
+        if storage.exists(os.path.join(index_dir, MANIFEST)):
             w.add_documents(batch_df, n_segments=segments_per_batch)
         else:
             w.build(batch_df)
