@@ -512,6 +512,33 @@ class IndexWriter:
         self.store_cols = store_cols
         self.index_offsets = index_offsets
 
+    def _check_manifest_compat(self, m: dict) -> None:
+        """Delta segments must agree with the existing index's analysis
+        and posting levels — a writer constructed with, say, the default
+        ``"positions"`` level appending to a docs-level index would make
+        ``_check_positions`` gating and tf semantics diverge PER SEGMENT
+        (the mirror of the duplicate-field / offsets guards in
+        ``__init__``; Lucene raises the same way on a FieldType clash)."""
+        man_an = m.get("analyzer", "whitespace")
+        if man_an != self.analyzer:
+            raise ValueError(
+                f"writer analyzer {self.analyzer!r} does not match the"
+                f" index manifest's {man_an!r}; delta segments would be"
+                " tokenized differently than the base index")
+        man_offs = bool(m.get("index_offsets", False))
+        if man_offs != self.index_offsets:
+            raise ValueError(
+                f"writer index_offsets={self.index_offsets} does not match"
+                f" the index manifest's {man_offs}")
+        man_fopts = m.get("field_index_options") or {}
+        for fn, _ in self.fields:
+            man_level = man_fopts.get(fn, "positions")
+            if man_level != self.field_options.get(fn, "positions"):
+                raise ValueError(
+                    f"field {fn!r}: writer index options"
+                    f" {self.field_options.get(fn)!r} do not match the"
+                    f" index manifest's {man_level!r}")
+
     @property
     def _field_cols(self) -> list[str]:
         return [c for _, c in self.fields]
@@ -538,6 +565,7 @@ class IndexWriter:
         stats are re-aggregated over all segments.
         """
         m = load_manifest(self.index_dir)
+        self._check_manifest_compat(m)
         # allocate NEW ids from the monotone counter (never the current
         # max — a merge can shrink max below a previously used id, and a
         # reused id would match its predecessor's stale resume marker)
@@ -606,7 +634,11 @@ class IndexWriter:
         segments at the next generation — the tombstones can never hide
         the replacements (gen scoping), and a later merge folds the old
         copies out physically."""
-        gen = int(load_manifest(self.index_dir).get("gen_counter", 0))
+        m = load_manifest(self.index_dir)
+        # fail BEFORE tombstones are buffered — a config clash must not
+        # leave half the delete-then-add applied
+        self._check_manifest_compat(m)
+        gen = int(m.get("gen_counter", 0))
         tomb_dir = os.path.join(self.index_dir, "tombstones")
         storage.makedirs(tomb_dir)
         (df.select(F.col(self.key_col).cast("string").alias("key"),

@@ -494,25 +494,50 @@ class SegmentMerger:
                                      dtype=bool)
                 tfs_pos = tfs * np.repeat(has_pos, counts)
                 flat_pos, _ = batch_unpack_positions(pos_list, tfs_pos)
-                offs_list = (pdf["offs_bin"].tolist()
+                # sidecar carry is PER ROW (block): a batch legitimately
+                # mixes sidecar-bearing blocks with bare ones (e.g. a
+                # delimited_payload text field next to a docs-level field,
+                # or pre-upgrade segments merged with post-upgrade ones —
+                # unmerged-schema reads surface the missing column as
+                # null, normalized to b"" here). Rows that carry the
+                # sidecar keep it through the merge; bare rows stay bare.
+                total_pos = int(tfs_pos.sum())
+                row_starts = np.cumsum(counts) - counts
+                offs_list = ([b if b is not None else b""
+                              for b in pdf["offs_bin"].tolist()]
                              if "offs_bin" in pdf.columns
                              else [b""] * n_rows)
-                # offsets survive a merge only when every input block has
-                # them (mixed pre/post-upgrade segments drop the sidecar)
-                has_offs = all(len(b) > 0 for b in offs_list) and tfs.sum() > 0
-                if has_offs:
-                    o_starts, o_ends = batch_unpack_offsets(offs_list, tfs)
-                # payloads sidecar: same carry rule as offsets
-                pay_list = (pdf["pay_bin"].tolist()
+                row_has_offs = np.asarray([len(b) > 0 for b in offs_list],
+                                          dtype=bool)
+                any_offs = bool(row_has_offs.any())
+                if any_offs:
+                    doc_has_offs = np.repeat(row_has_offs, counts)
+                    oc_s, oc_e = batch_unpack_offsets(
+                        offs_list, tfs_pos * doc_has_offs)
+                    offs_pos_mask = np.repeat(doc_has_offs, tfs_pos)
+                    o_starts = np.zeros(total_pos, dtype=np.int64)
+                    o_ends = np.zeros(total_pos, dtype=np.int64)
+                    o_starts[offs_pos_mask] = oc_s
+                    o_ends[offs_pos_mask] = oc_e
+                # payloads sidecar: same per-row carry rule as offsets
+                pay_list = ([b if b is not None else b""
+                             for b in pdf["pay_bin"].tolist()]
                             if "pay_bin" in pdf.columns
                             else [b""] * n_rows)
-                has_pays = all(len(b) > 0 for b in pay_list) and tfs.sum() > 0
-                if has_pays:
-                    row_pos_counts = np.add.reduceat(
-                        tfs_pos, np.cumsum(counts) - counts)
-                    pays_l = batch_unpack_payloads(pay_list, row_pos_counts)
-                    flat_pays = np.empty(len(pays_l), dtype=object)
-                    flat_pays[:] = pays_l
+                row_has_pays = np.asarray([len(b) > 0 for b in pay_list],
+                                          dtype=bool)
+                any_pays = bool(row_has_pays.any())
+                if any_pays:
+                    doc_has_pays = np.repeat(row_has_pays, counts)
+                    tfs_pays = tfs_pos * doc_has_pays
+                    pay_counts = np.add.reduceat(tfs_pays, row_starts)
+                    pays_l = batch_unpack_payloads(pay_list, pay_counts)
+                    pays_pos_mask = np.repeat(doc_has_pays, tfs_pos)
+                    flat_pays = np.empty(total_pos, dtype=object)
+                    flat_pays[:] = b""
+                    tmp = np.empty(len(pays_l), dtype=object)
+                    tmp[:] = pays_l
+                    flat_pays[pays_pos_mask] = tmp
 
                 flat_seg = np.repeat(segs, counts)
                 keep = np.ones(docs.size, dtype=bool)
@@ -532,7 +557,6 @@ class SegmentMerger:
                         shift[m] = pos_in_del
                 new_docs_all = docs - shift + offs
 
-                row_starts = np.cumsum(counts) - counts
                 kept_counts = np.add.reduceat(
                     keep.astype(np.int64), row_starts)
                 surv = kept_counts > 0
@@ -556,15 +580,21 @@ class SegmentMerger:
                 pos_keep = np.repeat(keep, tfs_pos)
                 k_pos = flat_pos[pos_keep].astype(np.uint64)
                 k_tfs_pos = tfs_pos[keep]
-                if has_offs:
+                if any_offs:
                     offs_out = batch_pack_offsets(
                         o_starts[pos_keep], o_ends[pos_keep],
                         k_tfs_pos, kept_s)
+                    # bare rows packed zero-offsets above; blank them so
+                    # absence stays absence (b"") in the merged segment
+                    offs_out = [o if h else b"" for o, h in
+                                zip(offs_out, row_has_offs[surv])]
                 else:
                     offs_out = [b""] * int(surv.sum())
-                if has_pays:
+                if any_pays:
                     pays_out = batch_pack_payloads(
                         list(flat_pays[pos_keep]), k_tfs_pos, kept_s)
+                    pays_out = [p if h else b"" for p, h in
+                                zip(pays_out, row_has_pays[surv])]
                 else:
                     pays_out = [b""] * int(surv.sum())
 
