@@ -67,7 +67,11 @@ from .codec import (
     unpack_ints,
     varint_decode,
 )
-from .phrase import exact_phrase_freq, sloppy_phrase_freq
+from .phrase import (
+    exact_phrase_freq,
+    sloppy_phrase_freq,
+    sloppy_phrase_freq_2term_batch,
+)
 from .query import (
     BooleanQuery,
     BoostingQuery,
@@ -103,13 +107,26 @@ _MAX_CAND_BUCKETS = 4096  # BMW pass-2 candidate-bucket collect cap
 class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str,
                  scoring: str = "lucene",
-                 similarity: dict[str, tuple[float, float]] | None = None):
+                 similarity: dict[str, tuple[float, float]] | None = None,
+                 verify_candidate_cap: int = 2_000_000):
         """``similarity`` maps field → (k1, b) — the SimilarityProducer
         extension point (searcher.rs:148-154: a different Similarity per
-        field); unlisted fields use the BM25 defaults (1.2, 0.75)."""
+        field); unlisted fields use the BM25 defaults (1.2, 0.75).
+
+        ``verify_candidate_cap`` bounds the PER-DOC Python verify paths
+        (sloppy phrases of 3+ positions or with repeated terms, and span
+        trees — the kernels that cannot be vectorized across docs). When
+        the metadata upper bound on candidate docs (min required-term df)
+        exceeds the cap, the query is rejected with guidance instead of
+        silently running a corpus-sized Python loop — the sloppy/span
+        analogue of block-max's degenerate-path degrade. Two-distinct-
+        term sloppy phrases are exempt: their walk is batch-vectorized
+        (phrase.sloppy_phrase_freq_2term_batch). Raise the cap
+        explicitly for deliberate heavy queries."""
         self.spark = spark
         self.index_dir = index_dir
         self.scoring = scoring
+        self.verify_candidate_cap = int(verify_candidate_cap)
         self.similarity = dict(similarity or {})
         m = load_manifest(index_dir)
         self.manifest = m
@@ -213,6 +230,23 @@ class IndexSearcher:
                 f"field {field!r} was indexed at level {opt!r} (no"
                 " positions); phrase/span queries require"
                 " index options 'positions'")
+
+    def _check_verify_cap(self, candidate_bound: int, what: str) -> None:
+        """Reject a per-doc-Python verify whose metadata candidate bound
+        (min required-clause df — free from term stats, no job) exceeds
+        ``verify_candidate_cap``. The bound is conservative: the real
+        conjunction can only be smaller, but a query whose RAREST
+        required term matches more than the cap would verify a
+        corpus-sized candidate set doc-by-doc in Python — at 10^12 docs
+        that is the one loop that cannot be allowed to run implicitly."""
+        if candidate_bound > self.verify_candidate_cap:
+            raise ValueError(
+                f"{what}: candidate bound {candidate_bound:,} exceeds"
+                f" verify_candidate_cap={self.verify_candidate_cap:,}."
+                " Narrow the query (FilterQuery / rarer required term),"
+                " use an exact phrase (slop=0, fully JVM-side), or"
+                " construct IndexSearcher(verify_candidate_cap=...)"
+                " deliberately higher.")
 
     # ------------------------------------------------------------------
     # public API
@@ -1486,24 +1520,43 @@ class IndexSearcher:
             .filter(F.col("_n") == n_uniq)
         )
 
+        two_term = len(terms) == 2 and terms[0] != terms[1]
+        if not two_term:
+            # the k-list heap walk is per-doc Python; gate it on the
+            # metadata candidate bound (min required-term df) so an
+            # adversarial stopword phrase can't run a corpus-sized
+            # Python loop — degrade-by-rejection with guidance, like
+            # block-max's degenerate path (round-3 VERDICT #1)
+            self._check_verify_cap(
+                min(int(stats[(q.field, t)]["df"]) for t in q.terms),
+                f"sloppy phrase {q.terms!r}~{slop}")
+
         def verify(batches):
-            # sloppy only (exact phrases returned above): the kernel is an
-            # inherently sequential heap walk (phrase_scorer.rs:537-575)
-            # on the conjunction-filtered candidate set; an adversarial
-            # stopword-pair SLOPPY phrase at full scale should cap
-            # candidates upstream (FilterQuery) or use the exact path
+            # sloppy only (exact phrases returned above). Two distinct
+            # terms — the adversarial stopword-pair shape — run the
+            # batch-vectorized alternating-leader walk (one searchsorted
+            # round per phase, whole batch in lockstep); other shapes
+            # keep the per-doc heap walk (phrase_scorer.rs:537-575)
+            # behind the candidate cap checked above.
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 n_cand = len(pdf)
-                freqs = np.zeros(n_cand, dtype=np.float64)
                 pms = pdf["_pm"].tolist()
-                for r in range(n_cand):
-                    pm = pms[r]
-                    pls = [np.asarray(pm[ti], dtype=np.int64)
-                           for ti in term_tis]
-                    freqs[r] = float(
-                        sloppy_phrase_freq(pls, offsets, terms, slop))
+                if two_term:
+                    freqs = sloppy_phrase_freq_2term_batch(
+                        [pm[term_tis[0]] for pm in pms],
+                        [pm[term_tis[1]] for pm in pms],
+                        offsets[0], offsets[1], slop,
+                    ).astype(np.float64)
+                else:
+                    freqs = np.zeros(n_cand, dtype=np.float64)
+                    for r in range(n_cand):
+                        pm = pms[r]
+                        pls = [np.asarray(pm[ti], dtype=np.int64)
+                               for ti in term_tis]
+                        freqs[r] = float(
+                            sloppy_phrase_freq(pls, offsets, terms, slop))
                 mask = freqs > 0
                 if not mask.any():
                     continue
@@ -1582,6 +1635,15 @@ class IndexSearcher:
         else:
             groups = [terms]
         full_mask = (1 << len(groups)) - 1
+        # span verify is per-doc Python (spans.py kernels): gate on the
+        # metadata candidate bound — a doc needs >=1 term of every
+        # required group, so min over groups of the group's summed df
+        # bounds the candidate set (round-3 VERDICT #1)
+        def _df(t: str) -> int:
+            row = stats.get((field, t))
+            return int(row["df"]) if row else 0
+        bound = min((sum(_df(t) for t in g) for g in groups), default=0)
+        self._check_verify_cap(bound, f"span query over {sorted(set(terms))!r}")
         ti_mask: dict[int, int] = {}
         for gi, g in enumerate(groups):
             for t in g:

@@ -77,3 +77,40 @@ def test_sloppy_beyond_slop_no_match():
     pls, offs, terms = phrase_inputs("a x x x x b", ["a", "b"])
     assert sloppy_phrase_freq(pls, offs, terms, slop=3) == 0.0
     assert sloppy_phrase_freq(pls, offs, terms, slop=4) > 0.0
+
+
+def test_2term_batch_bit_identical_fuzz():
+    """The lockstep 2-term kernel must be float32-BIT-identical to the
+    scalar heap walk on random position lists — including adjusted-
+    position ties under every offset ordering (the heap tie-break)."""
+    from rucene_spark.phrase import sloppy_phrase_freq_2term_batch
+
+    rng = np.random.default_rng(2024)
+    for o0, o1 in ((0, 1), (1, 0), (0, 0), (2, 0), (0, 3)):
+        for slop in (0, 1, 2, 4, 7):
+            la_l, lb_l = [], []
+            for _ in range(400):
+                span = int(rng.integers(11, 40))
+                la_l.append(np.sort(rng.choice(
+                    span, size=int(rng.integers(1, 11)),
+                    replace=False)).astype(np.int64))
+                lb_l.append(np.sort(rng.choice(
+                    span, size=int(rng.integers(1, 11)),
+                    replace=False)).astype(np.int64))
+            got = sloppy_phrase_freq_2term_batch(la_l, lb_l, o0, o1, slop)
+            for i in range(len(la_l)):
+                want = sloppy_phrase_freq(
+                    [la_l[i], lb_l[i]], [o0, o1], ["ta", "tb"], slop)
+                assert (np.float32(got[i]).view(np.int32)
+                        == np.float32(want).view(np.int32)), (
+                    la_l[i], lb_l[i], o0, o1, slop, got[i], want)
+
+
+def test_2term_batch_accepts_plain_lists():
+    from rucene_spark.phrase import sloppy_phrase_freq_2term_batch
+
+    got = sloppy_phrase_freq_2term_batch([[1, 5], [2]], [[2, 9], [40]], 0, 1, 3)
+    want0 = sloppy_phrase_freq(
+        [np.array([1, 5]), np.array([2, 9])], [0, 1], ["a", "b"], 3)
+    assert np.float32(got[0]) == want0
+    assert got[1] == np.float32(0.0)
