@@ -10,10 +10,13 @@ window functions so the DuckDB oracle can replay values exactly.
 
 Scale posture: the rollup is one partial-aggregated shuffle keyed by
 (hour, event_type) — low cardinality but skew-free because map-side
-combine collapses each partition to one row per key first. Sessionization
-shuffles once by user_id (the natural partition key of an event stream);
-per-user event counts are human-scale, so no salting is needed — a
-pathological single-user firehose would salt by (user_id, day).
+combine collapses each partition to one row per key first.
+Sessionization is SALTED against hot users (round-3 VERDICT #2): the
+event-level pass partitions by (user_id, time-bucket) so a single-user
+firehose (bot traffic) spreads across tasks, then a second, session-
+level pass merges sessions across bucket boundaries — its input is one
+row per LOCAL SESSION (bounded by buckets + true sessions, never event
+count), so partitioning that pass by user_id alone is safe at any skew.
 """
 
 from __future__ import annotations
@@ -46,29 +49,57 @@ ORDER BY hour, event_type
 """
 
 
-def sessionize(df: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+def sessionize(df: DataFrame, gap_min: int = SESSION_GAP_MIN,
+               bucket_hours: int = 24) -> DataFrame:
     """(user_id, session_start, n_events, sum_value): split each user's
-    event stream at inactivity gaps > ``gap_min`` minutes — lag + running
-    sum of gap flags, the standard relational sessionization."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    event stream at inactivity gaps > ``gap_min`` minutes.
+
+    Hot-user-safe two-phase plan: phase 1 sessionsizes WITHIN
+    (user_id, time-bucket) partitions — the salt that spreads a
+    single-user firehose across tasks — via the standard lag + running
+    sum of gap flags; phase 2 re-runs the same recursion over the LOCAL
+    SESSIONS (one row each, carrying first/last event micros), merging
+    consecutive sessions whose boundary gap is within ``gap_min`` —
+    including chains across empty buckets and sessions spanning many
+    buckets (the running sum merges transitively). Identical output to
+    the single-pass form for any ``bucket_hours`` > 0."""
+    gap_us = int(gap_min) * 60 * 1_000_000
+    bkt_us = int(bucket_hours) * 3600 * 1_000_000
     # events.ts arrives TIMESTAMP_NTZ; session tz is UTC, so the cast is
     # value-preserving and unix_micros gets the TIMESTAMP it requires
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = (us - F.lag(us).over(w)) > gap_min * 60 * 1_000_000
-    with_sess = (
-        df.withColumn("_new", F.when(gap, 1).otherwise(0))
+    df2 = (df.withColumn("_us", us)
+           .withColumn("_bkt", F.floor(F.col("_us") / F.lit(bkt_us))))
+    w = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
+    gap = (F.col("_us") - F.lag("_us").over(w)) > gap_us
+    local = (
+        df2.withColumn("_new", F.when(gap, 1).otherwise(0))
         .withColumn("_sess", F.sum("_new").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "_bkt", "_sess")
+        .agg(F.min("ts").alias("_start_ts"),
+             F.min("_us").alias("_first_us"),
+             F.max("_us").alias("_last_us"),
+             F.count("*").alias("_n"),
+             F.sum("value").alias("_v"))
     )
+    # phase 2 input is sessions, not events: bounded by
+    # (#buckets + #true sessions) per user, so user_id partitioning
+    # cannot be skewed by event volume
+    w2 = Window.partitionBy("user_id").orderBy("_first_us")
+    gap2 = (F.col("_first_us") - F.lag("_last_us").over(w2)) > gap_us
     return (
-        with_sess.groupBy("user_id", "_sess")
+        local.withColumn("_new2", F.when(gap2, 1).otherwise(0))
+        .withColumn("_gs", F.sum("_new2").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "_gs")
         .agg(
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+            F.date_format(F.min("_start_ts"), "yyyy-MM-dd HH:mm:ss")
             .alias("session_start"),
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_v"), 6).alias("sum_value"),
         )
-        .drop("_sess")
+        .drop("_gs")
         .orderBy("user_id", "session_start")
     )
 

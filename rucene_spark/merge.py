@@ -100,6 +100,9 @@ def delete_by_keys(index_dir: str, keys: list, gen: int | None = None) -> int:
 
 
 DV_UPDATES = "dv_updates"
+# overlay rows above this broadcast-join cap fall back to a shuffle join
+# (mirrors the searcher's 500k tombstone-broadcast cap)
+DV_BROADCAST_CAP = 500_000
 
 
 def update_doc_values(index_dir: str, col: str, updates: dict,
@@ -160,9 +163,19 @@ def apply_dv_overlay(spark: SparkSession, index_dir: str, df,
     segment's fresh gen is above every existing update's gen, so without
     folding the stale stored value would resurface after a merge)."""
     dv_dir = os.path.join(index_dir, DV_UPDATES)
-    if not (storage.is_dir(dv_dir) and any(
-            f.endswith(".parquet") for f in storage.listdir(dv_dir))):
+    if not storage.is_dir(dv_dir):
         return df
+    dv_files = [f for f in storage.listdir(dv_dir) if f.endswith(".parquet")]
+    if not dv_files:
+        return df
+    # broadcast the overlay only while it is small; a bulk
+    # update_doc_values run (10^8 keys) must shuffle-join instead of
+    # flooding every executor — same footer-metadata-count + cap rule as
+    # the tombstone anti-join (round-3 VERDICT #3). The count is raw
+    # overlay rows (pre max-seq dedup): free to read and conservative.
+    n_ov = sum(storage.parquet_num_rows(os.path.join(dv_dir, f))
+               for f in dv_files)
+    bcast = n_ov <= DV_BROADCAST_CAP
     from pyspark.sql import Window
     ov = spark.read.parquet(dv_dir)
     if "gen" not in ov.columns:
@@ -185,7 +198,7 @@ def apply_dv_overlay(spark: SparkSession, index_dir: str, df,
                        F.col("val").alias("_ovv"),
                        F.col("gen").alias("_ovg")))
         df = (df.join(
-                F.broadcast(ovc),
+                F.broadcast(ovc) if bcast else ovc,
                 (F.col(key_col).cast("string") == F.col("_ovk"))
                 & (seg_gen <= F.col("_ovg")), "left")
               .withColumn(c, F.coalesce(

@@ -315,3 +315,46 @@ def test_explain_phrase_span_dismax_bit_parity(spark, corpus, hi_mid,
     # non-match reporting
     e = s.explain(PhraseQuery.build("text", [w2, w1]), 0, 0)
     assert not e["match"] and e["value"] == 0.0
+
+
+def test_dv_overlay_broadcast_capped(spark, tmp_path_factory, monkeypatch):
+    """Above DV_BROADCAST_CAP the overlay joins by shuffle, not broadcast
+    (round-3 VERDICT #3): a bulk update touching 10^8 keys must not
+    flood every executor. Values stay identical either way."""
+    import rucene_spark.merge as merge_mod
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.merge import update_doc_values
+    from rucene_spark.query import TermQuery
+    from rucene_spark.search import IndexSearcher
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"common t{i:03d}", 100 + i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, rank long")
+    d = str(tmp_path_factory.mktemp("dvu_cap_idx"))
+    IndexWriter(spark, d, n_segments=2, key_col="doc_id",
+                partitioner="range").build(df)
+    update_doc_values(d, "rank", {0: 999.0, 5: 1.0})
+
+    def plan_of(searcher):
+        return searcher._docmeta._jdf.queryExecution().executedPlan().toString()
+
+    # disable Catalyst's size-based auto-broadcast so the presence or
+    # absence of OUR broadcast hint is what decides the join strategy
+    # (at real scale the auto threshold never fires for a 10^8-row
+    # overlay anyway — the hint forcing it is exactly the bug)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # small overlay -> hinted broadcast join even with auto off
+        assert "BroadcastHashJoin" in plan_of(IndexSearcher(spark, d))
+        # cap below the overlay size -> no hint -> shuffle join
+        monkeypatch.setattr(merge_mod, "DV_BROADCAST_CAP", 1)
+        s = IndexSearcher(spark, d)
+        assert "BroadcastHashJoin" not in plan_of(s)
+        got = [(r["doc_id"], r["rank"]) for r in
+               s.search_sorted(TermQuery("text", "common"),
+                               [F.desc("rank")], 6).collect()]
+        assert got == [(0, 999), (4, 104), (3, 103), (2, 102), (1, 101),
+                       (5, 1)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
