@@ -36,6 +36,29 @@ class Query:
     """Base class; concrete queries below."""
 
 
+@dataclass(frozen=True)
+class SortField:
+    """Typed sort key with explicit missing-value ordering
+    (sort_field.rs:28-110; field_comparator.rs:124-367).
+
+    ``missing_value`` semantics follow the reference comparators:
+
+    * numeric fields — docs missing the field compare AS IF their value
+      were ``missing_value``; when unset, the raw doc-values default 0
+      (NumericDocValuesComparator reads 0 for absent docs when no
+      missing value is configured).
+    * string fields — ``"first"`` / ``"last"`` (SortFieldMissingValue::
+      StringFirst/StringLast): missing sorts as the lowest / highest
+      value in NATURAL order, so under ``reverse`` "first" lands at the
+      end, exactly like a -inf/+inf substitute.
+
+    ``reverse`` flips to descending (``is_reverse``)."""
+
+    field: str
+    reverse: bool = False
+    missing_value: object = None
+
+
 @dataclass
 class TermQuery(Query):
     field: str

@@ -340,17 +340,65 @@ class IndexSearcher:
         return self._live(
             self._frame(query, np.float32(1.0), needs_scores=False)).count()
 
+    _NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
+                       "double", "decimal", "date", "timestamp")
+
+    def _resolve_sort(self, sort_cols) -> list:
+        """Resolve a mixed list of Column expressions (back-compat) and
+        typed :class:`~rucene_spark.query.SortField` entries into
+        ordering expressions with the reference's missing-value
+        semantics (field_comparator.rs:124-367; see SortField)."""
+        from .query import SortField
+
+        dtypes = None
+        out = []
+        for sc in sort_cols:
+            if not isinstance(sc, SortField):
+                out.append(sc)
+                continue
+            if dtypes is None:
+                dtypes = dict(self._docmeta.dtypes)
+            if sc.field not in dtypes:
+                raise ValueError(
+                    f"unknown sort field {sc.field!r};"
+                    f" docmeta has {sorted(dtypes)}")
+            t = dtypes[sc.field]
+            if t.startswith(self._NUMERIC_DTYPES):
+                mv = 0 if sc.missing_value is None else sc.missing_value
+                c = F.coalesce(F.col(sc.field), F.lit(mv).cast(t))
+                out.append(c.desc() if sc.reverse else c.asc())
+            else:
+                mv = sc.missing_value or "first"
+                if mv not in ("first", "last"):
+                    raise ValueError(
+                        f"string sort field {sc.field!r}: missing_value"
+                        " must be 'first' or 'last'"
+                        " (SortFieldMissingValue)")
+                c = F.col(sc.field)
+                # first/last refer to NATURAL order; under reverse the
+                # -inf/+inf substitute flips ends accordingly
+                if sc.reverse:
+                    out.append(c.desc_nulls_last() if mv == "first"
+                               else c.desc_nulls_first())
+                else:
+                    out.append(c.asc_nulls_first() if mv == "first"
+                               else c.asc_nulls_last())
+        return out
+
     def search_sorted(self, query: Query, sort_cols, k: int = 10,
                       early_terminate: bool = False) -> DataFrame:
         """Top-k by doc-values fields (sort_field.rs:28-110 analogue).
 
-        ``sort_cols`` are Column expressions over docmeta columns.
-        ``early_terminate`` is the EarlyTerminatingSortingCollector
+        ``sort_cols`` mixes raw Column expressions over docmeta columns
+        (back-compat) and typed :class:`SortField` entries carrying
+        per-type missing-value ordering. ``early_terminate`` is the
+        EarlyTerminatingSortingCollector
         analogue (early_terminating.rs:24-92): each segment contributes at
         most its own top-k before the global merge — unlike the
         reference's (which requires index sort == query sort), the
         per-segment cut is always rank-safe here because the global top-k
         is a superset-free merge of per-segment top-ks."""
+        sort_cols = self._resolve_sort(sort_cols)
         frame = self._live(self._frame(query, np.float32(1.0), needs_scores=False))
         joined = self._docmeta.join(frame.select("seg", "doc"), ["seg", "doc"])
         if early_terminate:
