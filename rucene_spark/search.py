@@ -211,6 +211,7 @@ class IndexSearcher:
         self._score_t = "float" if scoring == "lucene" else "double"
         self._score_schema = _SCORE_SCHEMA if scoring == "lucene" else _SCORE_SCHEMA64
         self._stats_cache: dict[tuple[str, str], dict | None] = {}
+        self._plan_cache: dict[tuple[str, int], DataFrame] = {}
 
     def _check_field(self, field: str) -> None:
         """Unknown fields are a hard error — never silently score against
@@ -262,14 +263,33 @@ class IndexSearcher:
                    else self._deleted)
         return frame.join(deleted, ["seg", "doc"], "left_anti")
 
+    _PLAN_CACHE_MAX = 1024
+
     def search(self, query: Query, k: int = 10) -> DataFrame:
-        """Top-k by (score desc, seg asc, doc asc) joined back to doc keys."""
+        """Top-k by (score desc, seg asc, doc asc) joined back to doc keys.
+
+        The planned DataFrame is memoized per (query value, k): Catalyst
+        analysis/optimization is a fixed DRIVER cost that does not shrink
+        with executor count, so a serving tier replaying a query mix
+        would otherwise pay it per request (it caps throughput-scaling
+        efficiency the way any serial fraction does). Unlike the
+        reference's LRUQueryCache — a RESULT cache, disabled there
+        (searcher.rs:696-701) — this caches only the plan: every call
+        still executes the full distributed job, so deletes visible to
+        THIS searcher (fixed at construction, like a Lucene point-in-time
+        reader) and scores are always freshly computed."""
+        ck = (repr(query), k)
+        hit = self._plan_cache.get(ck)
+        if hit is not None:
+            return hit
         frame = self._live(self._frame(query, np.float32(1.0), needs_scores=True))
         topk = frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
         out = (
             self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
             .orderBy(F.desc("score"), "seg", "doc")
         )
+        if len(self._plan_cache) < self._PLAN_CACHE_MAX:
+            self._plan_cache[ck] = out
         return out
 
     def search_with_timeout(self, query: Query, k: int = 10,
