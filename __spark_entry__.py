@@ -650,7 +650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_topk": q_boost_topk,
         "match_all_count": q_match_all_count,
         "range_count": q_range_count,
-        "sort_by_field": q_sort_by_field,
         "sort_missing_topk": q_sort_missing_topk,
         "early_term_sorted": q_early_term_sorted,
         "dv_update_sort": q_dv_update_sort,
@@ -690,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_agg": q_tpch_q1_agg,
         "tpch_join_topk": q_tpch_join_topk,
         # --- tail: subsumed variants, still gated by check_oracle.py ---
+        "sort_by_field": q_sort_by_field,
         "constant_score": q_constant_score,
         "term_count": q_term_count,
         "highlight_topk": q_highlight_topk,

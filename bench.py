@@ -153,6 +153,20 @@ def main() -> None:
             med, mx = _timed(fn, reps)
             queries[name] = round(med, 4)
             queries_max[name] = round(mx, 4)
+
+        # micro-batch serving (search_many): 16 queries in ONE job — the
+        # high-throughput serving shape; reported as seconds per batch
+        many = [TermQuery("text", t) for t in (t_hi, t_mid, t_lo)] + [
+            QueryStringQueryBuilder(q, [("text", 1.0)]).build()
+            for q in (f"{t_hi} {t_mid}", f"+{t_hi} {t_lo}", f"{t_mid} {t_lo}",
+                      f"+{t_mid} +{t_lo}", f"{t_hi}^2 {t_mid}",
+                      f"{t_hi} +({t_mid} {t_lo})", f"{t_lo}^0.5 {t_hi}",
+                      f"({t_hi} | {t_mid})", f"+{t_lo}", f"{t_mid}^3",
+                      f"{t_hi} {t_mid} {t_lo}", f"+{t_hi} +{t_mid}",
+                      f"{t_lo} {t_mid}^0.1")]
+        med, mx = _timed(lambda: searcher.search_many(many, 10).collect(), reps)
+        queries["serve_batch16"] = round(med, 4)
+        queries_max["serve_batch16"] = round(mx, 4)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -15,6 +15,8 @@ every matched token wrapped in pre/post tags.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from .query import TermQuery
@@ -232,6 +234,191 @@ def highlight_term_offsets(
             key, "seg", "doc",
             F.round(F.col("score"), 6).alias("score"),
             snippet.alias("snippet"),
+        )
+        .orderBy(F.desc("score"), "seg", "doc")
+    )
+
+
+DEFAULT_BOUNDARY_CHARS = " \t\n,，|!！?？;；.。:："  # mod.rs:1088
+DEFAULT_MAX_SCAN = 50  # mod.rs:1086
+_MARGIN_DEFAULT = 6  # frag_list_builder.rs:29
+
+
+def _find_start_offset(text: str, start: int, boundary_chars: str,
+                       max_scan: int) -> int:
+    """SimpleBoundaryScanner::find_start_offset (mod.rs:1112-1135): scan
+    LEFT from ``start`` up to ``max_scan`` chars; stop AFTER a boundary
+    char; reaching 0 returns 0; a fruitless scan returns ``start``."""
+    if start > len(text) or start < 1:
+        return start
+    offset, count = start, max_scan
+    while offset > 0 and count > 0:
+        if text[offset - 1] in boundary_chars:
+            return offset
+        count -= 1
+        offset -= 1
+    return 0 if offset == 0 else start
+
+
+def _find_end_offset(text: str, start: int, boundary_chars: str,
+                     max_scan: int) -> int:
+    """SimpleBoundaryScanner::find_end_offset (mod.rs:1137-1156): scan
+    RIGHT up to ``max_scan`` chars; stop ON a boundary char; a fruitless
+    scan returns ``start``."""
+    if start > len(text) or start < 0:
+        return start
+    offset, count = start, max_scan
+    while offset < len(text) and count > 0:
+        if text[offset] in boundary_chars:
+            return offset
+        count -= 1
+        offset += 1
+    return start
+
+
+def _frag_list(occs: list[tuple[int, int]], frag_char_size: int,
+               margin: int) -> list[tuple[int, int, list[tuple[int, int]]]]:
+    """BaseFragListBuilder::create_field_frag_list
+    (frag_list_builder.rs:39-121): greedy in offset order — open a span
+    at the first unconsumed occurrence, pull every occurrence ending
+    within ``span_start + frag_char_size``, then recenter the span on the
+    pulled matches and advance the consumed border to its end. Returns
+    ``(span_start, span_end, member_occurrences)`` triples.
+
+    ``occs`` are single-term/phrase-unit matches, so accept_phrase
+    (rs:191-194) is unconditionally true for 1-occurrence infos and the
+    ``match_length <= frag_char_size`` guard applies to multi-char
+    phrase units exactly as written."""
+    out = []
+    start_offset = 0
+    curr, n = 0, len(occs)
+    while curr < n:
+        s0, e0 = occs[curr]
+        if s0 < start_offset:  # violates previous fragment border
+            curr += 1
+            continue
+        wpil = []
+        span_start = max(s0 - margin, start_offset)
+        span_end = max(e0, span_start + frag_char_size)
+        curr_end = e0
+        curr += 1
+        # accept_phrase (rs:191-194) is `terms_offsets.len() <= 1 ||
+        # match_length <= frag_char_size`; our occurrences are single
+        # units, so acceptance is unconditional
+        wpil.append((s0, e0))
+        while curr < n and occs[curr][1] <= span_end:
+            curr_end = occs[curr][1]
+            wpil.append(occs[curr])
+            curr += 1
+        match_len = curr_end - s0
+        new_margin = max(0, (frag_char_size - match_len) // 2)
+        span_start = max(s0 - new_margin, start_offset)
+        span_end = span_start + max(match_len, frag_char_size)
+        start_offset = span_end
+        out.append((span_start, span_end, wpil))
+    return out
+
+
+def _term_occurrences(text: str, terms: set[str]) -> list[tuple[int, int]]:
+    """Char-offset occurrences of any query term under the whitespace
+    token model (the corpus analyzer), in offset order."""
+    occs = []
+    pos = 0
+    for tok in text.split(" "):
+        if tok in terms:
+            occs.append((pos, pos + len(tok)))
+        pos += len(tok) + 1
+    return occs
+
+
+def make_fragments(text: str, terms: set[str], frag_char_size: int = 100,
+                   max_num_fragments: int = 3, margin: int = _MARGIN_DEFAULT,
+                   pre: str = "<b>", post: str = "</b>",
+                   score_ordered: bool = False,
+                   boundary_chars: str = DEFAULT_BOUNDARY_CHARS,
+                   max_scan: int = DEFAULT_MAX_SCAN) -> list[str]:
+    """N highlighted fragments for one doc — the FVH pipeline
+    FieldPhraseList → FragListBuilder → BoundaryScanner → fragment
+    strings (fvh_highlighter.rs; fragments_builder.rs:356-436).
+
+    ``score_ordered`` mirrors score_order_weighted_frag_info_list
+    (fragments_builder.rs:217-219): fragments sorted by total weight
+    (here: match count — this API carries no per-query boosts) desc,
+    then offset; otherwise offset order. Edge snapping per
+    get_fragment_source_mso (fragments_builder.rs:313-325): end via
+    find_end_offset unless the text is shorter, start via
+    find_start_offset."""
+    if margin * 3 > frag_char_size:
+        # rs:45-49 panics below min_frag_char_size = 3*margin
+        raise ValueError(
+            f"frag_char_size({frag_char_size}) is too small;"
+            f" must be >= {max(1, margin * 3)}")
+    occs = _term_occurrences(text, terms)
+    frags = _frag_list(occs, frag_char_size, margin)
+    if score_ordered:
+        frags = sorted(frags, key=lambda f: (-len(f[2]), f[0]))
+    frags = frags[:max_num_fragments]
+    out = []
+    for span_start, span_end, wpil in frags:
+        if len(text) < span_end:
+            eo = len(text)
+            if span_start - (span_end - len(text) - 1) <= 0:
+                span_start = 0
+        else:
+            eo = _find_end_offset(text, span_end, boundary_chars, max_scan)
+        so = _find_start_offset(text, span_start, boundary_chars, max_scan)
+        pieces, cur = [], so
+        for ms, me in wpil:
+            if ms < so or me > eo:
+                continue
+            pieces.append(text[cur:ms])
+            pieces.append(pre + text[ms:me] + post)
+            cur = me
+        pieces.append(text[cur:eo])
+        out.append("".join(pieces))
+    return out
+
+
+def highlight_fragments(
+    searcher: IndexSearcher,
+    docs_df: DataFrame,
+    query,
+    k: int = 10,
+    frag_char_size: int = 100,
+    max_num_fragments: int = 3,
+    pre: str = "<b>",
+    post: str = "</b>",
+    score_ordered: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs with an ARRAY of up to ``max_num_fragments``
+    boundary-snapped fragments per hit (the reference FVH's
+    max_num_fragments surface, fragments_builder.rs:366-436, which the
+    single-window highlighters above do not cover).
+
+    Scale shape: highlighting is presentation-layer work over the k
+    RETURNED rows, exactly like the reference (create_fragments runs per
+    collected hit) — the Arrow-batched UDF below touches k rows, never
+    the corpus, so the distributed cost stays the search itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    key = searcher.key_col
+    terms = {t for _, t in searcher._collect_terms(query)}
+    hits = searcher.search(query, k).select(key, "seg", "doc", "score")
+    joined = hits.join(docs_df.select(key, text_col), key)
+
+    @pandas_udf("array<string>")
+    def frag_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: make_fragments(
+            t, terms, frag_char_size=frag_char_size,
+            max_num_fragments=max_num_fragments, pre=pre, post=post,
+            score_ordered=score_ordered))
+
+    return (
+        joined.select(
+            key, "seg", "doc",
+            F.round(F.col("score"), 6).alias("score"),
+            frag_udf(F.col(text_col)).alias("fragments"),
         )
         .orderBy(F.desc("score"), "seg", "doc")
     )

@@ -292,6 +292,141 @@ class IndexSearcher:
             self._plan_cache[ck] = out
         return out
 
+    def _flat_specs(self, q: Query, qid: int,
+                    boost: np.float32 = np.float32(1.0)):
+        """Flatten a term/boolean query into batch-executor clause specs
+        tagged ``"{qid}|{role}"``, or None if the shape needs its own
+        frame (phrase/span/dismax/nested groups). Mirrors
+        ``_boolean_frame``'s add() boost/role handling exactly so scores
+        stay bit-identical to the per-query path."""
+        if isinstance(q, BoostQuery):
+            return self._flat_specs(
+                q.query, qid, np.float32(boost * np.float32(q.boost)))
+        if isinstance(q, TermQuery):
+            eff = float(np.float32(boost * np.float32(q.boost)))
+            return ([(q.field, q.term, f"{qid}|s", eff, True)], 0, 0, 0)
+        if isinstance(q, BooleanQuery):
+            clauses = [(q.musts, "m", True), (q.shoulds, "s", True),
+                       (q.filters, "f", False), (q.must_nots, "n", False)]
+            if any(not isinstance(s, TermQuery)
+                   for subs, _, _ in clauses for s in subs):
+                return None
+            specs = []
+            for subs, role, scored in clauses:
+                for s in subs:
+                    eff = (float(np.float32(boost * np.float32(s.boost)))
+                           if scored else 1.0)
+                    specs.append(
+                        (s.field, s.term, f"{qid}|{role}", eff, scored))
+            return (specs, len(q.musts), len(q.filters),
+                    q.min_should_match)
+        return None
+
+    @staticmethod
+    def _int_map(d: dict[int, int]):
+        return F.map_from_arrays(
+            F.array(*[F.lit(int(i)) for i in d]),
+            F.array(*[F.lit(int(v)) for v in d.values()]))
+
+    def search_many(self, queries: list[Query], k: int = 10) -> DataFrame:
+        """Micro-batch serving: top-k for MANY queries in ONE distributed
+        job, returned with a ``qid`` column (the query's index in
+        ``queries``).
+
+        One Spark job per request is a local-mode anti-pattern: job
+        dispatch is a fixed driver cost, so per-request serving stops
+        scaling with executors as soon as the per-query work is small
+        (the reference serves per-query because a native process has no
+        such dispatch floor — searcher.rs drives scorers inline). A
+        high-throughput tier instead aggregates concurrent requests into
+        micro-batches.
+
+        The batch does NOT become one union branch per query — a
+        200-branch union schedules thousands of tiny tasks through the
+        driver's single-threaded DAG scheduler, which is exactly the
+        serial floor again. Instead every term/boolean query in the
+        batch is flattened into ONE shared clause table
+        (``_flat_specs``) and executed by the same bit-exact batched
+        kernel a single boolean query uses (``_batch_term_frame``): one
+        term-pruned scan + one Arrow decode for the WHOLE batch, one
+        (qid, seg, doc) aggregation applying each query's
+        must/filter/not/msm arithmetic via literal per-qid maps, then a
+        two-phase top-k — per (qid, seg) first, so no single reducer
+        ever sees more than (k × n_segments) rows per query, then per
+        qid on that reduced set. Queries the flattener rejects
+        (phrase/span/dismax/nested) keep their own rank-identical
+        TakeOrdered branch and union in. Stage count is constant in
+        batch size; rank/score identity vs per-query search() is
+        asserted by tests/test_search_many.py."""
+        ck = (tuple(repr(q) for q in queries), k, "many")
+        hit = self._plan_cache.get(ck)
+        if hit is not None:
+            return hit
+        flat: dict[int, tuple] = {}
+        others: list[int] = []
+        for i, q in enumerate(queries):
+            fs = self._flat_specs(q, i)
+            if fs is not None:
+                flat[i] = fs
+            else:
+                others.append(i)
+
+        branches = []
+        if flat:
+            all_specs = [s for specs, _, _, _ in flat.values()
+                         for s in specs]
+            stats = self._stats_for(
+                [(f_, t) for f_, t, _, _, _ in all_specs])
+            rows = self._batch_term_frame(all_specs, stats, with_tag=True)
+            ct = F.split(F.col("_ct"), "[|]")
+            r = rows.select(
+                ct.getItem(0).cast("int").alias("_q"),
+                "seg", "doc", "score", ct.getItem(1).alias("_r"))
+            agg = r.groupBy("_q", "seg", "doc").agg(
+                F.sum(F.when(F.col("_r").isin("m", "s"), F.col("score"))
+                      .otherwise(F.lit(0.0))).alias("_score"),
+                F.count(F.when(F.col("_r") == "m", 1)).alias("_nm"),
+                F.count(F.when(F.col("_r") == "s", 1)).alias("_ns"),
+                F.count(F.when(F.col("_r") == "f", 1)).alias("_nf"),
+                F.count(F.when(F.col("_r") == "n", 1)).alias("_nn"),
+            )
+            nm_map = self._int_map({i: v[1] for i, v in flat.items()})
+            nf_map = self._int_map({i: v[2] for i, v in flat.items()})
+            ms_map = self._int_map({i: v[3] for i, v in flat.items()})
+            cond = (
+                (F.col("_nm") == F.element_at(nm_map, F.col("_q")))
+                & (F.col("_nf") == F.element_at(nf_map, F.col("_q")))
+                & (F.col("_nn") == 0)
+                & (F.col("_ns") >= F.element_at(ms_map, F.col("_q")))
+            )
+            cand = self._live(
+                agg.filter(cond).select(
+                    F.col("_q").alias("qid"), "seg", "doc",
+                    F.col("_score").cast(self._score_t).alias("score")))
+            w1 = Window.partitionBy("qid", "seg").orderBy(
+                F.desc("score"), "doc")
+            w2 = Window.partitionBy("qid").orderBy(
+                F.desc("score"), "seg", "doc")
+            branches.append(
+                cand.withColumn("_rn", F.row_number().over(w1))
+                .filter(F.col("_rn") <= k).drop("_rn")
+                .withColumn("_rn", F.row_number().over(w2))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+        for i in others:
+            frame = self._live(
+                self._frame(queries[i], np.float32(1.0), needs_scores=True))
+            branches.append(
+                frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
+                .select(F.lit(i).alias("qid"), "seg", "doc", "score"))
+        topk = reduce(DataFrame.unionByName, branches)
+        out = (
+            self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
+            .orderBy("qid", F.desc("score"), "seg", "doc")
+        )
+        if len(self._plan_cache) < self._PLAN_CACHE_MAX:
+            self._plan_cache[ck] = out
+        return out
+
     def search_with_timeout(self, query: Query, k: int = 10,
                             timeout_s: float = 30.0) -> list:
         """TimeoutCollector analogue (collector/timeout.rs:34-98): bound

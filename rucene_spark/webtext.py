@@ -133,3 +133,39 @@ def make_query_strings(corpus: pd.DataFrame) -> list[str]:
         f'"{big1} {big2}"^2',
         f"{hi2} {mid2}^0.1",
     ]
+
+
+def make_query_strings_large(corpus: pd.DataFrame, n: int = 200) -> list[str]:
+    """Deterministic extension of :func:`make_query_strings` to ``n``
+    distinct queries: the 22 reference shapes first, then term triples
+    strided through the full df spectrum rotated over six boolean/boost
+    shapes. Used by serving-throughput benches, where a 22-query batch
+    is too little work per job to amortize fixed job-dispatch latency."""
+    out = list(make_query_strings(corpus))
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    seen = set(out)
+    i = 0
+    while len(out) < n:
+        a = plain[(7 * i) % len(plain)]
+        b = plain[(13 * i + 3) % len(plain)]
+        c = plain[(29 * i + 11) % len(plain)]
+        shape = i % 6
+        if shape == 0:
+            q = f"{a} {b}"
+        elif shape == 1:
+            q = f"+{a} {b}"
+        elif shape == 2:
+            q = f"+{a} +{b}"
+        elif shape == 3:
+            q = f"({a}^2 | {b})"
+        elif shape == 4:
+            q = f"{a} +({b} {c})"
+        else:
+            q = f"{a}^0.5 {b}^2 {c}"
+        i += 1
+        if q in seen:
+            continue
+        seen.add(q)
+        out.append(q)
+    return out[:n]

@@ -1,0 +1,70 @@
+"""Micro-batch serving: search_many must be rank- and score-identical
+to per-query search() for every query in the batch (one distributed job
+replaces N dispatches; semantics unchanged)."""
+
+import pytest
+
+from rucene_spark.build import IndexWriter
+from rucene_spark.query import (
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    QueryStringQueryBuilder,
+    TermQuery,
+)
+from rucene_spark.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path_factory.mktemp("many_idx"))
+    IndexWriter(spark, d, n_segments=4, key_col="doc_id",
+                partitioner="range").build(docs)
+    return d
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 6)) for r in df.collect()]
+
+
+def test_search_many_matches_per_query(spark, idx):
+    s = IndexSearcher(spark, idx)
+    queries = [
+        TermQuery("text", "table"),
+        QueryStringQueryBuilder("table +query", [("text", 1.0)]).build(),
+        BooleanQuery.build(
+            [TermQuery("text", "scan")], [TermQuery("text", "table")], [], []),
+        DisjunctionMaxQuery([TermQuery("text", "table"),
+                             TermQuery("text", "query")], 0.3),
+        PhraseQuery.build("text", ["key", "agg"], slop=0),
+        BooleanQuery.build(
+            [], [TermQuery("text", "table"), TermQuery("text", "query"),
+                 TermQuery("text", "scan")], [], [], min_should_match=2),
+        BooleanQuery.build(
+            [TermQuery("text", "table")], [], [],
+            [TermQuery("text", "query")]),
+        BooleanQuery.build(
+            [], [TermQuery("text", "table", boost=2.5),
+                 TermQuery("text", "scan", boost=0.5)], [], []),
+        BooleanQuery.build(
+            [TermQuery("text", "table")], [], [TermQuery("text", "query")],
+            []),
+        TermQuery("text", "tzzzzzz"),  # absent term: zero rows for qid
+    ]
+    batch = s.search_many(queries, 10).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["doc_id"], round(r["score"], 6)))
+    for i, q in enumerate(queries):
+        assert by_qid.get(i, []) == _rows(s.search(q, 10)), f"qid {i}"
+
+
+def test_search_many_plan_cached(spark, idx):
+    s = IndexSearcher(spark, idx)
+    queries = [TermQuery("text", "table"), TermQuery("text", "query")]
+    df1 = s.search_many(queries, 5)
+    df2 = s.search_many(queries, 5)
+    assert df1 is df2  # same planned DataFrame object on the second call
+    assert df1.count() == 10
