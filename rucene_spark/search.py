@@ -292,35 +292,76 @@ class IndexSearcher:
             self._plan_cache[ck] = out
         return out
 
-    def _flat_specs(self, q: Query, qid: int,
+    @staticmethod
+    def _fold_boost(q: Query, boost: np.float32):
+        while isinstance(q, BoostQuery):
+            boost = np.float32(boost * np.float32(q.boost))
+            q = q.query
+        return q, boost
+
+    def _flat_specs(self, q: Query, qid: int, gid_counter: list,
                     boost: np.float32 = np.float32(1.0)):
-        """Flatten a term/boolean query into batch-executor clause specs
-        tagged ``"{qid}|{role}"``, or None if the shape needs its own
-        frame (phrase/span/dismax/nested groups). Mirrors
-        ``_boolean_frame``'s add() boost/role handling exactly so scores
-        stay bit-identical to the per-query path."""
-        if isinstance(q, BoostQuery):
-            return self._flat_specs(
-                q.query, qid, np.float32(boost * np.float32(q.boost)))
+        """Flatten a term/boolean query (ONE level of nested boolean
+        groups allowed) into batch-executor clause specs tagged
+        ``"{qid}|{gtok}|{role}"`` where ``gtok`` is ``r`` for root
+        clauses or a batch-globally-unique ``g<N>`` for members of a
+        nested group. Returns
+        ``(specs, (root_nm, root_nf, root_msm), groups)`` with
+        ``groups[gtok] = (parent_role, scored, nm, nf, msm)``, or None
+        if the shape needs its own frame (phrase/span/dismax/deeper
+        nesting). Mirrors ``_boolean_frame``'s add() boost/role handling
+        exactly so scores stay bit-identical to the per-query path."""
+        q, boost = self._fold_boost(q, boost)
         if isinstance(q, TermQuery):
             eff = float(np.float32(boost * np.float32(q.boost)))
-            return ([(q.field, q.term, f"{qid}|s", eff, True)], 0, 0, 0)
-        if isinstance(q, BooleanQuery):
-            clauses = [(q.musts, "m", True), (q.shoulds, "s", True),
-                       (q.filters, "f", False), (q.must_nots, "n", False)]
-            if any(not isinstance(s, TermQuery)
-                   for subs, _, _ in clauses for s in subs):
-                return None
-            specs = []
-            for subs, role, scored in clauses:
-                for s in subs:
-                    eff = (float(np.float32(boost * np.float32(s.boost)))
+            return ([(q.field, q.term, f"{qid}|r|s", eff, True)],
+                    (0, 0, 0), {})
+        if not isinstance(q, BooleanQuery):
+            return None
+        specs: list[tuple] = []
+        groups: dict[str, tuple] = {}
+        clauses = [(q.musts, "m", True), (q.shoulds, "s", True),
+                   (q.filters, "f", False), (q.must_nots, "n", False)]
+        for subs, role, scored in clauses:
+            for sub in subs:
+                sub, sub_boost = self._fold_boost(
+                    sub, boost if scored else np.float32(1.0))
+                if isinstance(sub, TermQuery):
+                    eff = (float(np.float32(sub_boost
+                                            * np.float32(sub.boost)))
                            if scored else 1.0)
                     specs.append(
-                        (s.field, s.term, f"{qid}|{role}", eff, scored))
-            return (specs, len(q.musts), len(q.filters),
-                    q.min_should_match)
-        return None
+                        (sub.field, sub.term, f"{qid}|r|{role}", eff,
+                         scored))
+                    continue
+                if not isinstance(sub, BooleanQuery):
+                    return None
+                inner = [(sub.musts, "m", True), (sub.shoulds, "s", True),
+                         (sub.filters, "f", False),
+                         (sub.must_nots, "n", False)]
+                flat_members = []
+                for isubs, irole, iscored in inner:
+                    for m in isubs:
+                        m, m_boost = self._fold_boost(
+                            m, sub_boost if (scored and iscored)
+                            else np.float32(1.0))
+                        if not isinstance(m, TermQuery):
+                            return None
+                        eff = (float(np.float32(m_boost
+                                                * np.float32(m.boost)))
+                               if (scored and iscored) else 1.0)
+                        flat_members.append((m, irole, eff,
+                                             scored and iscored))
+                gid_counter[0] += 1
+                gtok = f"g{gid_counter[0]}"
+                for m, irole, eff, isc in flat_members:
+                    specs.append(
+                        (m.field, m.term, f"{qid}|{gtok}|{irole}", eff,
+                         isc))
+                groups[gtok] = (role, scored, len(sub.musts),
+                                len(sub.filters), sub.min_should_match)
+        return (specs, (len(q.musts), len(q.filters),
+                        q.min_should_match), groups)
 
     @staticmethod
     def _int_map(d: dict[int, int]):
@@ -353,19 +394,22 @@ class IndexSearcher:
         must/filter/not/msm arithmetic via literal per-qid maps, then a
         two-phase top-k — per (qid, seg) first, so no single reducer
         ever sees more than (k × n_segments) rows per query, then per
-        qid on that reduced set. Queries the flattener rejects
-        (phrase/span/dismax/nested) keep their own rank-identical
-        TakeOrdered branch and union in. Stage count is constant in
-        batch size; rank/score identity vs per-query search() is
-        asserted by tests/test_search_many.py."""
+        qid on that reduced set. One level of nested boolean groups
+        rides the same kernel (a second tiny aggregation turns each
+        satisfied group into a virtual root clause). Queries the
+        flattener rejects (phrase/span/dismax/deeper nesting) keep
+        their own rank-identical TakeOrdered branch and union in. Stage
+        count is constant in batch size; rank/score identity vs
+        per-query search() is asserted by tests/test_search_many.py."""
         ck = (tuple(repr(q) for q in queries), k, "many")
         hit = self._plan_cache.get(ck)
         if hit is not None:
             return hit
         flat: dict[int, tuple] = {}
         others: list[int] = []
+        gid_counter = [0]
         for i, q in enumerate(queries):
-            fs = self._flat_specs(q, i)
+            fs = self._flat_specs(q, i, gid_counter)
             if fs is not None:
                 flat[i] = fs
             else:
@@ -373,34 +417,87 @@ class IndexSearcher:
 
         branches = []
         if flat:
-            all_specs = [s for specs, _, _, _ in flat.values()
+            all_specs = [s for specs, _, _ in flat.values()
                          for s in specs]
+            all_groups = {gtok: g for _, _, groups in flat.values()
+                          for gtok, g in groups.items()}
             stats = self._stats_for(
                 [(f_, t) for f_, t, _, _, _ in all_specs])
             rows = self._batch_term_frame(all_specs, stats, with_tag=True)
             ct = F.split(F.col("_ct"), "[|]")
             r = rows.select(
                 ct.getItem(0).cast("int").alias("_q"),
-                "seg", "doc", "score", ct.getItem(1).alias("_r"))
-            agg = r.groupBy("_q", "seg", "doc").agg(
+                ct.getItem(1).alias("_g"),
+                "seg", "doc", "score", ct.getItem(2).alias("_r"))
+            # stage 1: aggregate per (qid, group, doc) — root clauses and
+            # each nested group's members reduce independently
+            g1 = r.groupBy("_q", "_g", "seg", "doc").agg(
                 F.sum(F.when(F.col("_r").isin("m", "s"), F.col("score"))
-                      .otherwise(F.lit(0.0))).alias("_score"),
+                      .otherwise(F.lit(0.0))).alias("_sc"),
                 F.count(F.when(F.col("_r") == "m", 1)).alias("_nm"),
                 F.count(F.when(F.col("_r") == "s", 1)).alias("_ns"),
                 F.count(F.when(F.col("_r") == "f", 1)).alias("_nf"),
                 F.count(F.when(F.col("_r") == "n", 1)).alias("_nn"),
             )
-            nm_map = self._int_map({i: v[1] for i, v in flat.items()})
-            nf_map = self._int_map({i: v[2] for i, v in flat.items()})
-            ms_map = self._int_map({i: v[3] for i, v in flat.items()})
+            # stage 2: nested groups become virtual root clauses — kept
+            # only when the group's own must/filter/not/msm arithmetic is
+            # satisfied, contributing one count in the parent role and
+            # (for scored roles) the group score cast like the per-query
+            # nested frame does. Per-group and per-query requirement
+            # constants ride in TINY broadcast-joined metadata frames —
+            # literal map/when expression trees over hundreds of entries
+            # sent the Catalyst optimizer quadratic (measured 40-100s per
+            # plan); two broadcast hash joins plan in milliseconds.
+            spark = self.spark
+            if all_groups:
+                gmeta = spark.createDataFrame(
+                    [(gtok, v[0], v[2], v[3], v[4])
+                     for gtok, v in all_groups.items()],
+                    "_g string, _grole string, _gnm long, _gnf long,"
+                    " _gms long")
+                j = g1.join(F.broadcast(gmeta), "_g", "left")
+                is_root = F.col("_grole").isNull()
+                g_ok = ((F.col("_nm") == F.col("_gnm"))
+                        & (F.col("_nf") == F.col("_gnf"))
+                        & (F.col("_nn") == 0)
+                        & (F.col("_ns") >= F.col("_gms")))
+                gsc = (F.when(F.col("_grole").isin("m", "s"),
+                              F.col("_sc").cast(self._score_t)
+                              .cast("double"))
+                       .otherwise(F.lit(0.0)))
+                contrib = j.filter(is_root | g_ok).select(
+                    "_q", "seg", "doc",
+                    F.when(is_root, F.col("_sc")).otherwise(gsc)
+                    .alias("_sc"),
+                    F.when(is_root, F.col("_nm")).otherwise(
+                        (F.col("_grole") == "m").cast("long")).alias("_nm"),
+                    F.when(is_root, F.col("_ns")).otherwise(
+                        (F.col("_grole") == "s").cast("long")).alias("_ns"),
+                    F.when(is_root, F.col("_nf")).otherwise(
+                        (F.col("_grole") == "f").cast("long")).alias("_nf"),
+                    F.when(is_root, F.col("_nn")).otherwise(
+                        (F.col("_grole") == "n").cast("long")).alias("_nn"),
+                )
+                agg = contrib.groupBy("_q", "seg", "doc").agg(
+                    F.sum("_sc").alias("_score"),
+                    F.sum("_nm").alias("_nm"), F.sum("_ns").alias("_ns"),
+                    F.sum("_nf").alias("_nf"), F.sum("_nn").alias("_nn"))
+            else:
+                agg = g1.select(
+                    "_q", "seg", "doc", F.col("_sc").alias("_score"),
+                    "_nm", "_ns", "_nf", "_nn")
+            qmeta = spark.createDataFrame(
+                [(i, v[1][0], v[1][1], v[1][2])
+                 for i, v in flat.items()],
+                "_q int, _rnm long, _rnf long, _rms long")
             cond = (
-                (F.col("_nm") == F.element_at(nm_map, F.col("_q")))
-                & (F.col("_nf") == F.element_at(nf_map, F.col("_q")))
+                (F.col("_nm") == F.col("_rnm"))
+                & (F.col("_nf") == F.col("_rnf"))
                 & (F.col("_nn") == 0)
-                & (F.col("_ns") >= F.element_at(ms_map, F.col("_q")))
+                & (F.col("_ns") >= F.col("_rms"))
             )
             cand = self._live(
-                agg.filter(cond).select(
+                agg.join(F.broadcast(qmeta), "_q").filter(cond).select(
                     F.col("_q").alias("qid"), "seg", "doc",
                     F.col("_score").cast(self._score_t).alias("score")))
             w1 = Window.partitionBy("qid", "seg").orderBy(

@@ -51,6 +51,18 @@ def test_search_many_matches_per_query(spark, idx):
             [TermQuery("text", "table")], [], [TermQuery("text", "query")],
             []),
         TermQuery("text", "tzzzzzz"),  # absent term: zero rows for qid
+        # nested one-level groups (batched via virtual root clauses)
+        QueryStringQueryBuilder("table +(query scan)",
+                                [("text", 1.0)]).build(),
+        QueryStringQueryBuilder("(table query) +(scan key)",
+                                [("text", 1.0)]).build(),
+        QueryStringQueryBuilder("+table (query scan^2)",
+                                [("text", 1.0)]).build(),
+        BooleanQuery.build(
+            [], [TermQuery("text", "table")], [],
+            [BooleanQuery.build([], [TermQuery("text", "query"),
+                                     TermQuery("text", "scan")], [], [],
+                                min_should_match=2)]),
     ]
     batch = s.search_many(queries, 10).collect()
     by_qid = {}
