@@ -100,6 +100,7 @@ def _kp1_64(k1: float) -> float:
 
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
+_ROLE_CODE = {"m": 0, "s": 1, "f": 2, "n": 3}  # boolean clause roles
 _UB_SLACK = 1e-5  # relative slack on the BMW θ filter (f32 vs f64 rounding)
 _MAX_CAND_BUCKETS = 4096  # BMW pass-2 candidate-bucket collect cap
 
@@ -127,6 +128,16 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.scoring = scoring
         self.verify_candidate_cap = int(verify_candidate_cap)
+        # Serving scans must parallelize by CLUSTER width, not by parquet
+        # bin-packing: at the default 128 MiB maxPartitionBytes a ~600 MiB
+        # postings table plans ~5 scan tasks, and since the Arrow decode
+        # is fused into the scan stage, EVERY downstream core beyond 5
+        # idles (measured: local[32] no faster than local[8] on a
+        # 1000-query batch). 16 MiB keeps decode stages as wide as the
+        # segment count without shuffling the compressed blocks.
+        if spark.conf.get("spark.sql.files.maxPartitionBytes",
+                          None) in (None, "134217728", "128MB"):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "16777216")
         self.similarity = dict(similarity or {})
         m = load_manifest(index_dir)
         self.manifest = m
@@ -424,20 +435,18 @@ class IndexSearcher:
             stats = self._stats_for(
                 [(f_, t) for f_, t, _, _, _ in all_specs])
             rows = self._batch_term_frame(all_specs, stats, with_tag=True)
-            ct = F.split(F.col("_ct"), "[|]")
-            r = rows.select(
-                ct.getItem(0).cast("int").alias("_q"),
-                ct.getItem(1).alias("_g"),
-                "seg", "doc", "score", ct.getItem(2).alias("_r"))
+            r = rows.select("_q", "_g", "seg", "doc", "score", "_r")
             # stage 1: aggregate per (qid, group, doc) — root clauses and
-            # each nested group's members reduce independently
+            # each nested group's members reduce independently (_q/_g/_r
+            # are int codes from the clause table: no string hashing in
+            # the batch's widest groupBy)
             g1 = r.groupBy("_q", "_g", "seg", "doc").agg(
-                F.sum(F.when(F.col("_r").isin("m", "s"), F.col("score"))
+                F.sum(F.when(F.col("_r") <= 1, F.col("score"))
                       .otherwise(F.lit(0.0))).alias("_sc"),
-                F.count(F.when(F.col("_r") == "m", 1)).alias("_nm"),
-                F.count(F.when(F.col("_r") == "s", 1)).alias("_ns"),
-                F.count(F.when(F.col("_r") == "f", 1)).alias("_nf"),
-                F.count(F.when(F.col("_r") == "n", 1)).alias("_nn"),
+                F.count(F.when(F.col("_r") == 0, 1)).alias("_nm"),
+                F.count(F.when(F.col("_r") == 1, 1)).alias("_ns"),
+                F.count(F.when(F.col("_r") == 2, 1)).alias("_nf"),
+                F.count(F.when(F.col("_r") == 3, 1)).alias("_nn"),
             )
             # stage 2: nested groups become virtual root clauses — kept
             # only when the group's own must/filter/not/msm arithmetic is
@@ -451,9 +460,9 @@ class IndexSearcher:
             spark = self.spark
             if all_groups:
                 gmeta = spark.createDataFrame(
-                    [(gtok, v[0], v[2], v[3], v[4])
+                    [(int(gtok[1:]), _ROLE_CODE[v[0]], v[2], v[3], v[4])
                      for gtok, v in all_groups.items()],
-                    "_g string, _grole string, _gnm long, _gnf long,"
+                    "_g int, _grole int, _gnm long, _gnf long,"
                     " _gms long")
                 j = g1.join(F.broadcast(gmeta), "_g", "left")
                 is_root = F.col("_grole").isNull()
@@ -461,7 +470,7 @@ class IndexSearcher:
                         & (F.col("_nf") == F.col("_gnf"))
                         & (F.col("_nn") == 0)
                         & (F.col("_ns") >= F.col("_gms")))
-                gsc = (F.when(F.col("_grole").isin("m", "s"),
+                gsc = (F.when(F.col("_grole") <= 1,
                               F.col("_sc").cast(self._score_t)
                               .cast("double"))
                        .otherwise(F.lit(0.0)))
@@ -470,13 +479,13 @@ class IndexSearcher:
                     F.when(is_root, F.col("_sc")).otherwise(gsc)
                     .alias("_sc"),
                     F.when(is_root, F.col("_nm")).otherwise(
-                        (F.col("_grole") == "m").cast("long")).alias("_nm"),
+                        (F.col("_grole") == 0).cast("long")).alias("_nm"),
                     F.when(is_root, F.col("_ns")).otherwise(
-                        (F.col("_grole") == "s").cast("long")).alias("_ns"),
+                        (F.col("_grole") == 1).cast("long")).alias("_ns"),
                     F.when(is_root, F.col("_nf")).otherwise(
-                        (F.col("_grole") == "f").cast("long")).alias("_nf"),
+                        (F.col("_grole") == 2).cast("long")).alias("_nf"),
                     F.when(is_root, F.col("_nn")).otherwise(
-                        (F.col("_grole") == "n").cast("long")).alias("_nn"),
+                        (F.col("_grole") == 3).cast("long")).alias("_nn"),
                 )
                 agg = contrib.groupBy("_q", "seg", "doc").agg(
                     F.sum("_sc").alias("_score"),
@@ -1518,6 +1527,22 @@ class IndexSearcher:
         (conjunction_scorer.rs / disjunction_scorer.rs collapse into a
         single term-pruned columnar scan). Clauses may span fields; each
         decodes against its own field's norm cache / avgdl.
+
+        Scale shape: the Python decode emits ONE row per (field, term)
+        posting — ``(seg, doc, kid, tff, denom)``, all fixed-width ints/
+        floats — and the per-CLAUSE expansion (a term referenced by many
+        clauses of a serving micro-batch) happens JVM-side as a broadcast
+        hash join against a clause table keyed by ``kid``.  The previous
+        shape expanded per-clause INSIDE the Python worker with an
+        object-dtype tag column, so a 1000-query batch paid Arrow
+        serialization + string hashing on ~4x the rows; the join form
+        keeps the hot columns in whole-stage codegen.  Score arithmetic
+        runs in the SAME IEEE op order as the row-at-a-time path
+        (f32: ``(wk*tff)/(tff+denom)``; f64: ``(coef*tff)/denom``), so
+        scores stay bit-identical (asserted by test_engine_parity).
+        ``with_tag`` adds the clause-table columns ``_ct`` (string tag,
+        boolean-frame protocol) and ``_q``/``_g``/``_r`` (int qid / group
+        id / role code m=0 s=1 f=2 n=3, serving-batch protocol).
         """
         by_key: dict[tuple[str, str], list] = {}
         for field, term, tag, boost, scored in specs:
@@ -1528,45 +1553,43 @@ class IndexSearcher:
 
         cache_f = self.cache_f
         scoring = self.scoring
-        avgdl64_f = self.avgdl64_f
-        ftype = np.float32 if scoring == "lucene" else np.float64
-        # per-clause scalar coefficients, precomputed with the exact scalar
-        # op order of the row-at-a-time path (bit parity); the field's
-        # (k1, b) ride along for the f64 denominator
-        coef64 = {
-            k: [(tag, scored, np.float32(wk32),
-                 (idf_64 * b64) * _kp1_64(self.sim_f[k[0]][0]),
-                 self.sim_f[k[0]][0], self.sim_f[k[0]][1])
-                for tag, scored, wk32, idf_64, b64 in specs_]
-            for k, specs_ in by_key.items()
-        }
-        # clause table flattened per (field, term) key, precomputed
-        # driver-side so the executor expansion is pure gather/repeat
-        # (round-2 VERDICT 'What's wrong #5': the per-(row, clause) Python
-        # append loop was O(blocks × clauses) scalar work per batch)
-        _keys = list(coef64)
+        lucene = scoring == "lucene"
+        # clause table rows: one per spec, keyed by the (field, term) key
+        # id the decode emits.  _w folds every per-clause scalar the score
+        # needs (f32 wk = idf*boost*(k1+1); f64 coef = idf*boost*(k1+1)).
+        _keys = list(by_key)
         kid_of = {k: i for i, k in enumerate(_keys)}
-        cl_counts = np.asarray([len(coef64[k]) for k in _keys],
-                               dtype=np.int64)
-        cl_starts = np.cumsum(cl_counts) - cl_counts
-        _flat = [c for k in _keys for c in coef64[k]]
-        tag_cat = np.asarray([c[0] for c in _flat], dtype=object)
-        scored_cat = np.asarray([c[1] for c in _flat], dtype=bool)
-        wk32_cat = np.asarray([c[2] for c in _flat], dtype=np.float32)
-        coef_cat = np.asarray([c[3] for c in _flat], dtype=np.float64)
-        k1_cat = np.asarray([c[4] for c in _flat], dtype=np.float64)
-        b_cat = np.asarray([c[5] for c in _flat], dtype=np.float64)
-        fld_cat = np.asarray(
-            [k[0] for k in _keys for _ in coef64[k]], dtype=object)
-        avg_cat = np.asarray(
-            [self.avgdl64_f[k[0]] for k in _keys for _ in coef64[k]],
-            dtype=np.float64)
+        cl_rows = []
+        for k in _keys:
+            kid = kid_of[k]
+            k1_, b_ = self.sim_f[k[0]]
+            for tag, scored, wk32, idf_64, b64 in by_key[k]:
+                if "|" in tag:
+                    qs, gs, rs = tag.split("|")
+                    qi, gi = int(qs), (0 if gs == "r" else int(gs[1:]))
+                else:
+                    qi, gi, rs = -1, 0, (tag or "s")
+                ri = _ROLE_CODE.get(rs, 1)
+                w = (float(wk32) if lucene
+                     else (idf_64 * b64) * _kp1_64(k1_))
+                cl_rows.append((kid, tag, qi, gi, ri, w, bool(scored)))
+
+        # per-key field constants for the f64 denominator, gathered by kid
+        # inside the decode (k1/b/avgdl are per FIELD; norms cache is the
+        # f32 path's per-field denominator)
+        k1_of_key = np.asarray([self.sim_f[k[0]][0] for k in _keys],
+                               dtype=np.float64)
+        b_of_key = np.asarray([self.sim_f[k[0]][1] for k in _keys],
+                              dtype=np.float64)
+        avg_of_key = np.asarray([self.avgdl64_f[k[0]] for k in _keys],
+                                dtype=np.float64)
 
         def fn(batches):
             # whole-batch decode: every block of the Arrow batch is
             # unpacked in a few numpy passes (batch_unpack /
-            # batch_delta_decode), then clauses are expanded by gather —
-            # no per-block Python loop in the hot path
+            # batch_delta_decode); emission is one row per posting with
+            # fixed-width columns only — no per-block Python loop, no
+            # per-clause duplication
             for pdf in batches:
                 n_rows = len(pdf)
                 if n_rows == 0:
@@ -1576,67 +1599,37 @@ class IndexSearcher:
                     batch_unpack(pdf["docs_bin"].tolist(), counts), counts
                 ).astype(np.int64)
                 tfs = batch_unpack(pdf["tfs_bin"].tolist(), counts)
-                v_starts = np.cumsum(counts) - counts
                 flds = pdf["field"].tolist()
                 trms = pdf["term"].tolist()
-                segs_row = pdf["seg"].to_numpy(np.int32)
-
-                # expanded clause table — one entry per (block row, clause),
-                # built by gather over the precomputed per-key clause
-                # arrays (no per-row Python appends)
                 row_kid = np.fromiter(
                     (kid_of[(f_, t)] for f_, t in zip(flds, trms)),
                     dtype=np.int64, count=n_rows)
-                rc = cl_counts[row_kid]
-                n_exp = int(rc.sum())
-                exp_row = np.repeat(np.arange(n_rows), rc)
-                ends_rc = np.cumsum(rc)
-                within = np.arange(n_exp) - np.repeat(ends_rc - rc, rc)
-                cidx = np.repeat(cl_starts[row_kid], rc) + within
-                identity = bool((rc == 1).all())
-                lens_e = counts[exp_row]
-                out_total = int(lens_e.sum())
-                if identity:
-                    idx = slice(None)
-                else:
-                    ends_e = np.cumsum(lens_e)
-                    idx = (np.repeat(v_starts[exp_row], lens_e)
-                           + np.arange(out_total)
-                           - np.repeat(ends_e - lens_e, lens_e))
-
-                tf_out = tfs[idx]
-                fld_e = fld_cat[cidx]
-                scored_e = scored_cat[cidx]
-                if scoring == "lucene":
+                out = {
+                    "seg": np.repeat(pdf["seg"].to_numpy(np.int32), counts),
+                    "doc": docs,
+                    "kid": np.repeat(row_kid, counts).astype(np.int32),
+                }
+                if lucene:
                     nbs = batch_unpack(pdf["norms_bin"].tolist(), counts
-                                       ).astype(np.int64)[idx]
-                    denom = np.empty(out_total, dtype=np.float32)
-                    for f_ in set(fld_e.tolist()):
-                        m = np.repeat(fld_e == f_, lens_e)
+                                       ).astype(np.int64)
+                    denom = np.empty(len(nbs), dtype=np.float32)
+                    fld_doc = np.repeat(np.asarray(flds, dtype=object),
+                                        counts)
+                    for f_ in set(flds):
+                        m = fld_doc == f_
                         denom[m] = cache_f[f_][nbs[m]]
-                    wk_v = np.repeat(wk32_cat[cidx], lens_e)
-                    tff = tf_out.astype(np.float32)
-                    sc = (wk_v * tff) / (tff + denom)
+                    out["tff"] = tfs.astype(np.float32)
+                    out["denom"] = denom
                 else:
                     dls = batch_unpack(pdf["dls_bin"].tolist(), counts
-                                       ).astype(np.float64)[idx]
-                    avg_v = np.repeat(avg_cat[cidx], lens_e)
-                    coef_v = np.repeat(coef_cat[cidx], lens_e)
-                    k1_v = np.repeat(k1_cat[cidx], lens_e)
-                    b_v = np.repeat(b_cat[cidx], lens_e)
-                    tff = tf_out.astype(np.float64)
-                    denom = tff + k1_v * ((1.0 - b_v) + b_v * dls / avg_v)
-                    sc = coef_v * tff / denom
-                sc = sc.astype(ftype)
-                if not scored_e.all():
-                    sc[np.repeat(~scored_e, lens_e)] = 0
-                out = {
-                    "seg": np.repeat(segs_row[exp_row], lens_e),
-                    "doc": docs[idx],
-                    "score": sc,
-                }
-                if with_tag:
-                    out["_ct"] = np.repeat(tag_cat[cidx], lens_e)
+                                       ).astype(np.float64)
+                    tff = tfs.astype(np.float64)
+                    k1_v = np.repeat(k1_of_key[row_kid], counts)
+                    b_v = np.repeat(b_of_key[row_kid], counts)
+                    avg_v = np.repeat(avg_of_key[row_kid], counts)
+                    out["tff"] = tff
+                    out["denom"] = tff + k1_v * ((1.0 - b_v)
+                                                 + b_v * dls / avg_v)
                 yield pd.DataFrame(out)
 
         if scan is None:
@@ -1651,8 +1644,32 @@ class IndexSearcher:
             scan = self._postings.filter(cond).select(
                 "field", "term", "seg", "num_docs", "docs_bin", "tfs_bin",
                 "norms_bin", "dls_bin")
-        schema = self._score_schema + (", _ct string" if with_tag else "")
-        return scan.mapInPandas(fn, schema)
+        num_t = "float" if lucene else "double"
+        decoded = scan.mapInPandas(
+            fn, f"seg int, doc long, kid int, tff {num_t}, denom {num_t}")
+
+        cl_df = self.spark.createDataFrame(
+            cl_rows,
+            f"kid int, _ct string, _q int, _g int, _r int, _w {num_t},"
+            " _scored boolean")
+        # f32/f64 score in the row-at-a-time op order, inside codegen.
+        # Spark widens float arithmetic to double, so the f32 path casts
+        # back to float after EVERY op: double-rounding a single +,*,/ of
+        # exact f32 operands is innocuous at 53>=2*24+2 bits of interim
+        # precision, so each step is bit-identical to a native f32 op
+        # (asserted by test_engine_parity).
+        if lucene:
+            num = (F.col("_w") * F.col("tff")).cast("float")
+            den = (F.col("tff") + F.col("denom")).cast("float")
+            expr = (num / den).cast("float")
+        else:
+            expr = (F.col("_w") * F.col("tff")) / F.col("denom")
+        score = F.when(F.col("_scored"), expr).otherwise(
+            F.lit(0.0).cast(num_t)).alias("score")
+        cols = ["seg", "doc", score]
+        if with_tag:
+            cols += ["_ct", "_q", "_g", "_r"]
+        return decoded.join(F.broadcast(cl_df), "kid").select(*cols)
 
     def _positions_rows(self, field: str, uniq_terms: list[str],
                         ti_of: dict) -> DataFrame:
@@ -2034,7 +2051,9 @@ class IndexSearcher:
         add(q.filters, "f", False, np.float32(1.0))
         add(q.must_nots, "n", False, np.float32(1.0))
         if term_specs:
-            tagged.append(self._batch_term_frame(term_specs, stats, with_tag=True))
+            tagged.append(
+                self._batch_term_frame(term_specs, stats, with_tag=True)
+                .select("seg", "doc", "score", "_ct"))
 
         unioned = reduce(DataFrame.unionByName, tagged)
         agg = unioned.groupBy("seg", "doc").agg(
