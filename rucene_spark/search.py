@@ -98,6 +98,97 @@ def _kp1_64(k1: float) -> float:
     SQL oracles' 2.2 constant stays bit-identical."""
     return 2.2 if k1 == 1.2 else k1 + 1.0
 
+def _collector_seg_reduce(doc, qid, gid, role, sc, g_role, g_nm, g_nf,
+                          g_ms, r_nm, r_nf, r_ms, tomb, lucene, ftype, k):
+    """Segment-local boolean reduction + top-k for the serving collector
+    (_collector_topk_frame): numpy sort/reduceat mirror of the JVM
+    two-stage aggregation (stage 1 per (qid, gid, doc); stage 2 folds
+    satisfied one-level groups into virtual root clauses; root
+    must/filter/not/msm arithmetic; tombstone mask; per-query top-k by
+    (score desc, doc asc)).  Stable lexsort keeps scan order within each
+    key so the float64 accumulation order matches the JVM sum."""
+    # stage 1: reduce per (qid, gid, doc)
+    order = np.lexsort((doc, gid, qid))
+    d, g, q = doc[order], gid[order], qid[order]
+    r, v = role[order], sc[order].astype(np.float64)
+    nb = np.empty(len(d), dtype=bool)
+    nb[0] = True
+    nb[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1]) | (q[1:] != q[:-1])
+    starts = np.flatnonzero(nb)
+    sc1 = np.add.reduceat(np.where(r <= 1, v, 0.0), starts)
+    nm = np.add.reduceat((r == 0).astype(np.int64), starts)
+    ns = np.add.reduceat((r == 1).astype(np.int64), starts)
+    nf = np.add.reduceat((r == 2).astype(np.int64), starts)
+    nn = np.add.reduceat((r == 3).astype(np.int64), starts)
+    kq, kg, kd = q[starts], g[starts], d[starts]
+
+    # stage 2: satisfied groups become virtual root clauses
+    is_root = kg == 0
+    if not is_root.all():
+        gm = ~is_root
+        gg = kg[gm]
+        ok = ((nm[gm] == g_nm[gg]) & (nf[gm] == g_nf[gg])
+              & (nn[gm] == 0) & (ns[gm] >= g_ms[gg]))
+        grole = g_role[gg][ok]
+        gsc_raw = sc1[gm][ok]
+        if lucene:
+            gsc = np.where(grole <= 1,
+                           gsc_raw.astype(np.float32).astype(np.float64),
+                           0.0)
+        else:
+            gsc = np.where(grole <= 1, gsc_raw, 0.0)
+        q2 = np.concatenate([kq[is_root], kq[gm][ok]])
+        d2 = np.concatenate([kd[is_root], kd[gm][ok]])
+        v2 = np.concatenate([sc1[is_root], gsc])
+        nm2 = np.concatenate([nm[is_root],
+                              (grole == 0).astype(np.int64)])
+        ns2 = np.concatenate([ns[is_root],
+                              (grole == 1).astype(np.int64)])
+        nf2 = np.concatenate([nf[is_root],
+                              (grole == 2).astype(np.int64)])
+        nn2 = np.concatenate([nn[is_root],
+                              (grole == 3).astype(np.int64)])
+        o2 = np.lexsort((d2, q2))
+        d2, q2 = d2[o2], q2[o2]
+        v2, nm2, ns2 = v2[o2], nm2[o2], ns2[o2]
+        nf2, nn2 = nf2[o2], nn2[o2]
+        nb2 = np.empty(len(d2), dtype=bool)
+        nb2[0] = True
+        nb2[1:] = (d2[1:] != d2[:-1]) | (q2[1:] != q2[:-1])
+        st2 = np.flatnonzero(nb2)
+        sc3 = np.add.reduceat(v2, st2)
+        nm3 = np.add.reduceat(nm2, st2)
+        ns3 = np.add.reduceat(ns2, st2)
+        nf3 = np.add.reduceat(nf2, st2)
+        nn3 = np.add.reduceat(nn2, st2)
+        q3, d3 = q2[st2], d2[st2]
+    else:
+        q3, d3, sc3 = kq, kd, sc1
+        nm3, ns3, nf3, nn3 = nm, ns, nf, nn
+
+    keep = ((nm3 == r_nm[q3]) & (nf3 == r_nf[q3]) & (nn3 == 0)
+            & (ns3 >= r_ms[q3]))
+    q3, d3, sc3 = q3[keep], d3[keep], sc3[keep]
+    if tomb is not None and len(q3):
+        pos = np.searchsorted(tomb, d3)
+        dead = (pos < len(tomb)) & (
+            tomb[np.minimum(pos, len(tomb) - 1)] == d3)
+        q3, d3, sc3 = q3[~dead], d3[~dead], sc3[~dead]
+    if len(q3) == 0:
+        return q3, d3, sc3.astype(ftype)
+    score = sc3.astype(ftype)
+    # per-query top-k by (score desc, doc asc)
+    o = np.lexsort((d3, -score.astype(np.float64), q3))
+    qs_, ds_, ss_ = q3[o], d3[o], score[o]
+    new_q = np.empty(len(qs_), dtype=bool)
+    new_q[0] = True
+    new_q[1:] = qs_[1:] != qs_[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(new_q, np.arange(len(qs_)), 0))
+    sel = (np.arange(len(qs_)) - grp_start) < k
+    return qs_[sel], ds_[sel], ss_[sel]
+
+
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
 _ROLE_CODE = {"m": 0, "s": 1, "f": 2, "n": 3}  # boolean clause roles
@@ -128,21 +219,35 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.scoring = scoring
         self.verify_candidate_cap = int(verify_candidate_cap)
-        # Serving scans must parallelize by CLUSTER width, not by parquet
-        # bin-packing: at the default 128 MiB maxPartitionBytes a ~600 MiB
-        # postings table plans ~5 scan tasks, and since the Arrow decode
-        # is fused into the scan stage, EVERY downstream core beyond 5
-        # idles (measured: local[32] no faster than local[8] on a
-        # 1000-query batch). 16 MiB keeps decode stages as wide as the
-        # segment count without shuffling the compressed blocks.
-        if spark.conf.get("spark.sql.files.maxPartitionBytes",
-                          None) in (None, "134217728", "128MB"):
-            spark.conf.set("spark.sql.files.maxPartitionBytes", "16777216")
         self.similarity = dict(similarity or {})
         m = load_manifest(index_dir)
         self.manifest = m
         self.key_col = m["key_col"]
         self.doc_count = m["doc_count"]
+        # Scan partitions must equal SEGMENT FILES, for two reasons:
+        # (a) parallelism — at the default 128 MiB maxPartitionBytes,
+        # parquet bin-packing glues ~64 ten-MiB segment files into ~5 scan
+        # tasks, and since the Arrow decode is fused into the scan stage,
+        # every core beyond 5 idles (measured: local[32] no faster than
+        # local[8] on a 1000-query batch); (b) correctness of the
+        # micro-batch collector kernel (_collector_topk_frame), whose
+        # segment-local boolean arithmetic and per-segment top-k require
+        # each partition to hold a segment's postings COMPLETELY.  Setting
+        # openCostInBytes = maxPartitionBytes disables packing (one file
+        # per partition) and raising maxPartitionBytes above the largest
+        # segment file disables splitting.  At cluster scale parallelism
+        # comes from segment COUNT (a merge policy keeps per-segment files
+        # bounded), exactly like Lucene shards.
+        max_seg_bytes = max(
+            (int(s.get("bytes", 0)) for s in m["segments"]), default=0)
+        part_bytes = max(128 << 20, max_seg_bytes + (1 << 20))
+        try:  # never LOWER a bound another searcher on this session set
+            cur = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        except (ValueError, TypeError):
+            cur = 0
+        part_bytes = max(part_bytes, cur)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(part_bytes))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(part_bytes))
         self.sum_ttf = m["sum_ttf"]
         # per-field collection stats (field.rs:23-29 multi-field model):
         # each field has its own sum_ttf → avgdl → norm cache; doc_count is
@@ -223,6 +328,24 @@ class IndexSearcher:
         self._score_schema = _SCORE_SCHEMA if scoring == "lucene" else _SCORE_SCHEMA64
         self._stats_cache: dict[tuple[str, str], dict | None] = {}
         self._plan_cache: dict[tuple[str, int], DataFrame] = {}
+        self._tomb_cache: dict[int, np.ndarray] | None = None
+
+    def _tomb_by_seg(self) -> dict[int, np.ndarray]:
+        """Resolved tombstones as per-segment sorted doc-id arrays, for the
+        collector kernel's in-worker live-docs mask.  Only called when the
+        broadcast gate held (≤500k tombstones), so the driver materializes
+        at most that many (seg, doc) pairs — the same bound the broadcast
+        anti-join already implies."""
+        if self._deleted is None:
+            return {}
+        if self._tomb_cache is None:
+            by_seg: dict[int, list] = {}
+            for r in self._deleted.collect():
+                by_seg.setdefault(int(r["seg"]), []).append(int(r["doc"]))
+            self._tomb_cache = {
+                s: np.unique(np.asarray(v, dtype=np.int64))
+                for s, v in by_seg.items()}
+        return self._tomb_cache
 
     def _check_field(self, field: str) -> None:
         """Unknown fields are a hard error — never silently score against
@@ -427,7 +550,28 @@ class IndexSearcher:
                 others.append(i)
 
         branches = []
-        if flat:
+        if flat and (self._deleted is None or self._bcast_deleted):
+            # per-segment collector kernel: zero-shuffle scoring + boolean
+            # arithmetic + per-(query, segment) top-k inside the worker;
+            # only (n_q × n_seg × k) rows reach the final per-query merge
+            all_specs = [s for specs, _, _ in flat.values()
+                         for s in specs]
+            all_groups = {gtok: g for _, _, groups in flat.values()
+                          for gtok, g in groups.items()}
+            stats = self._stats_for(
+                [(f_, t) for f_, t, _, _, _ in all_specs])
+            coll = self._collector_topk_frame(
+                all_specs, all_groups, flat, k, stats)
+            w2 = Window.partitionBy("_q").orderBy(
+                F.desc("score"), "seg", "doc")
+            branches.append(
+                coll.withColumn("_rn", F.row_number().over(w2))
+                .filter(F.col("_rn") <= k).drop("_rn")
+                .select(F.col("_q").alias("qid"), "seg", "doc", "score"))
+        elif flat:
+            # tombstones above the broadcast gate: keep the JVM
+            # aggregation chain whose _live anti-join shuffles instead of
+            # materializing the tombstone set on the driver
             all_specs = [s for specs, _, _ in flat.values()
                          for s in specs]
             all_groups = {gtok: g for _, _, groups in flat.values()
@@ -532,6 +676,239 @@ class IndexSearcher:
         if len(self._plan_cache) < self._PLAN_CACHE_MAX:
             self._plan_cache[ck] = out
         return out
+
+    def _collector_topk_frame(self, all_specs: list[tuple],
+                              all_groups: dict, flat: dict,
+                              k: int, stats: dict) -> DataFrame:
+        """Per-SEGMENT top-k collector for a flattened serving batch — the
+        reference's per-segment search loop (searcher.rs drives one
+        collector per LeafReader, then merges) re-expressed as one
+        mapInPandas pass with NO shuffle.
+
+        A doc's postings live entirely inside its segment, and the scan is
+        partitioned one-segment-per-file (searcher __init__ pins
+        maxPartitionBytes/openCostInBytes), so every (query, doc) boolean
+        reduction — clause sums, must/filter/not counts, msm, one-level
+        group folds — is segment-LOCAL.  The worker therefore folds its
+        whole partition down to k rows per (query, segment) with numpy
+        sort+reduceat, and only (n_queries × n_segments × k) metadata-sized
+        rows ever leave the executors.  This replaces two ~(postings ×
+        clauses)-row shuffles plus a global window sort (measured 12M+
+        shuffled rows for a 200-query batch at 480k docs — the serving
+        scaling ceiling) with zero exchanges before the final tiny merge.
+
+        Global top-k correctness: the final (score desc, seg asc, doc asc)
+        order restricted to one segment is the segment's own order, so the
+        global top-k is a subset of the union of per-segment top-k's.
+        Tombstones are masked in-worker (per-seg sorted arrays; only built
+        under the 500k broadcast gate) BEFORE ranks are assigned, exactly
+        like the anti-join path.  Score arithmetic reuses the gather
+        expansion + IEEE op order of the batch kernel, and stage sums run
+        in scan order via stable lexsort, so scores stay bit-identical to
+        per-query search() (asserted by tests/test_search_many.py).
+        Output: one frame ``_q int, seg, doc, score`` of per-(query,
+        segment) top-k already msm-filtered and live-masked.
+        """
+        by_key: dict[tuple[str, str], list] = {}
+        for field, term, tag, boost, scored in all_specs:
+            self._check_field(field)
+            wk32, idf_64, b64 = self._term_weights(field, term, boost,
+                                                   stats)
+            by_key.setdefault((field, term), []).append(
+                (tag, scored, wk32, idf_64, b64))
+
+        cache_f = self.cache_f
+        scoring = self.scoring
+        lucene = scoring == "lucene"
+        ftype = np.float32 if lucene else np.float64
+
+        def _parse(tag):
+            qs, gs, rs = tag.split("|")
+            return (int(qs), 0 if gs == "r" else int(gs[1:]),
+                    _ROLE_CODE[rs])
+
+        coef64 = {
+            key: [(tag, scored, np.float32(wk32),
+                   (idf_64 * b64) * _kp1_64(self.sim_f[key[0]][0]),
+                   self.sim_f[key[0]][0], self.sim_f[key[0]][1])
+                  for tag, scored, wk32, idf_64, b64 in specs_]
+            for key, specs_ in by_key.items()
+        }
+        _keys = list(coef64)
+        kid_of = {key: i for i, key in enumerate(_keys)}
+        cl_counts = np.asarray([len(coef64[key]) for key in _keys],
+                               dtype=np.int64)
+        cl_starts = np.cumsum(cl_counts) - cl_counts
+        _flat = [c for key in _keys for c in coef64[key]]
+        parsed = [_parse(c[0]) for c in _flat]
+        qid_cat = np.asarray([p[0] for p in parsed], dtype=np.int32)
+        gid_cat = np.asarray([p[1] for p in parsed], dtype=np.int32)
+        role_cat = np.asarray([p[2] for p in parsed], dtype=np.int8)
+        scored_cat = np.asarray([c[1] for c in _flat], dtype=bool)
+        wk32_cat = np.asarray([c[2] for c in _flat], dtype=np.float32)
+        coef_cat = np.asarray([c[3] for c in _flat], dtype=np.float64)
+        k1_cat = np.asarray([c[4] for c in _flat], dtype=np.float64)
+        b_cat = np.asarray([c[5] for c in _flat], dtype=np.float64)
+        fld_cat = np.asarray(
+            [key[0] for key in _keys for _ in coef64[key]], dtype=object)
+        avg_cat = np.asarray(
+            [self.avgdl64_f[key[0]] for key in _keys
+             for _ in coef64[key]], dtype=np.float64)
+
+        # group metadata indexed by gid (0 = root, unused slot)
+        n_g = max((int(g[1:]) for g in all_groups), default=0)
+        g_role = np.zeros(n_g + 1, dtype=np.int8)
+        g_nm = np.zeros(n_g + 1, dtype=np.int64)
+        g_nf = np.zeros(n_g + 1, dtype=np.int64)
+        g_ms = np.zeros(n_g + 1, dtype=np.int64)
+        for gtok, (prole, _scored, nm_, nf_, ms_) in all_groups.items():
+            gi = int(gtok[1:])
+            g_role[gi] = _ROLE_CODE[prole]
+            g_nm[gi], g_nf[gi], g_ms[gi] = nm_, nf_, ms_
+        # per-query root requirements indexed by qid
+        n_q = max(flat) + 1
+        r_nm = np.zeros(n_q, dtype=np.int64)
+        r_nf = np.zeros(n_q, dtype=np.int64)
+        r_ms = np.zeros(n_q, dtype=np.int64)
+        for i, (_specs, (nm_, nf_, ms_), _groups) in flat.items():
+            r_nm[i], r_nf[i], r_ms[i] = nm_, nf_, ms_
+
+        tomb = self._tomb_by_seg()
+        k_ = int(k)
+
+        # opt-in worker profile: one summary line per mapInPandas call
+        # (decode vs reduce wall/cpu) appended under /tmp/rucene_prof
+        prof = os.environ.get("RUCENE_COLLECTOR_PROF")
+
+        def fn(batches):
+            import time as _time
+            t_wall0, t_cpu0 = _time.time(), _time.process_time()
+            n_batches = n_in = 0
+            parts: list[tuple] = []
+            for pdf in batches:
+                n_rows = len(pdf)
+                n_batches += 1
+                n_in += n_rows
+                if n_rows == 0:
+                    continue
+                counts = pdf["num_docs"].to_numpy(np.int64)
+                docs = batch_delta_decode(
+                    batch_unpack(pdf["docs_bin"].tolist(), counts), counts
+                ).astype(np.int64)
+                tfs = batch_unpack(pdf["tfs_bin"].tolist(), counts)
+                v_starts = np.cumsum(counts) - counts
+                flds = pdf["field"].tolist()
+                trms = pdf["term"].tolist()
+                segs_row = pdf["seg"].to_numpy(np.int32)
+
+                row_kid = np.fromiter(
+                    (kid_of[(f_, t)] for f_, t in zip(flds, trms)),
+                    dtype=np.int64, count=n_rows)
+                rc = cl_counts[row_kid]
+                n_exp = int(rc.sum())
+                exp_row = np.repeat(np.arange(n_rows), rc)
+                ends_rc = np.cumsum(rc)
+                within = np.arange(n_exp) - np.repeat(ends_rc - rc, rc)
+                cidx = np.repeat(cl_starts[row_kid], rc) + within
+                identity = bool((rc == 1).all())
+                lens_e = counts[exp_row]
+                out_total = int(lens_e.sum())
+                if identity:
+                    idx = slice(None)
+                else:
+                    ends_e = np.cumsum(lens_e)
+                    idx = (np.repeat(v_starts[exp_row], lens_e)
+                           + np.arange(out_total)
+                           - np.repeat(ends_e - lens_e, lens_e))
+
+                tf_out = tfs[idx]
+                fld_e = fld_cat[cidx]
+                scored_e = scored_cat[cidx]
+                if lucene:
+                    nbs = batch_unpack(pdf["norms_bin"].tolist(), counts
+                                       ).astype(np.int64)[idx]
+                    denom = np.empty(out_total, dtype=np.float32)
+                    for f_ in set(fld_e.tolist()):
+                        mm = np.repeat(fld_e == f_, lens_e)
+                        denom[mm] = cache_f[f_][nbs[mm]]
+                    wk_v = np.repeat(wk32_cat[cidx], lens_e)
+                    tff = tf_out.astype(np.float32)
+                    sc = (wk_v * tff) / (tff + denom)
+                else:
+                    dls = batch_unpack(pdf["dls_bin"].tolist(), counts
+                                       ).astype(np.float64)[idx]
+                    avg_v = np.repeat(avg_cat[cidx], lens_e)
+                    coef_v = np.repeat(coef_cat[cidx], lens_e)
+                    k1_v = np.repeat(k1_cat[cidx], lens_e)
+                    b_v = np.repeat(b_cat[cidx], lens_e)
+                    tff = tf_out.astype(np.float64)
+                    denom = tff + k1_v * ((1.0 - b_v) + b_v * dls / avg_v)
+                    sc = coef_v * tff / denom
+                sc = sc.astype(ftype)
+                if not scored_e.all():
+                    sc[np.repeat(~scored_e, lens_e)] = 0
+                parts.append((
+                    np.repeat(segs_row[exp_row], lens_e),
+                    docs[idx] if not identity else docs,
+                    np.repeat(qid_cat[cidx], lens_e),
+                    np.repeat(gid_cat[cidx], lens_e),
+                    np.repeat(role_cat[cidx], lens_e),
+                    sc,
+                ))
+            t_dec = _time.time()
+            if not parts:
+                return
+            seg_a = np.concatenate([p[0] for p in parts])
+            doc_a = np.concatenate([p[1] for p in parts])
+            qid_a = np.concatenate([p[2] for p in parts])
+            gid_a = np.concatenate([p[3] for p in parts])
+            role_a = np.concatenate([p[4] for p in parts])
+            sc_a = np.concatenate([p[5] for p in parts])
+
+            oq, oseg, od, osc = [], [], [], []
+            for s in np.unique(seg_a):
+                sel = seg_a == s
+                q3, d3, s3 = _collector_seg_reduce(
+                    doc_a[sel], qid_a[sel], gid_a[sel], role_a[sel],
+                    sc_a[sel], g_role, g_nm, g_nf, g_ms,
+                    r_nm, r_nf, r_ms, tomb.get(int(s)), lucene, ftype, k_)
+                if len(q3) == 0:
+                    continue
+                oq.append(q3)
+                oseg.append(np.full(len(q3), s, dtype=np.int32))
+                od.append(d3)
+                osc.append(s3)
+            if prof:
+                os.makedirs("/tmp/rucene_prof", exist_ok=True)
+                with open(f"/tmp/rucene_prof/{os.getpid()}.log", "a") as fh:
+                    fh.write(
+                        f"decode wall={t_dec - t_wall0:.3f}"
+                        f" reduce wall={_time.time() - t_dec:.3f}"
+                        f" cpu={_time.process_time() - t_cpu0:.3f}"
+                        f" batches={n_batches} rows={n_in}"
+                        f" exp={len(seg_a)}\n")
+            if not oq:
+                return
+            yield pd.DataFrame({
+                "_q": np.concatenate(oq),
+                "seg": np.concatenate(oseg),
+                "doc": np.concatenate(od),
+                "score": np.concatenate(osc),
+            })
+
+        by_field: dict[str, list[str]] = {}
+        for f_, t in by_key:
+            by_field.setdefault(f_, []).append(t)
+        cond = reduce(
+            lambda a, b: a | b,
+            [(F.col("field") == f_) & F.col("term").isin(ts)
+             for f_, ts in by_field.items()],
+        )
+        scan = self._postings.filter(cond).select(
+            "field", "term", "seg", "num_docs", "docs_bin", "tfs_bin",
+            "norms_bin", "dls_bin")
+        return scan.mapInPandas(
+            fn, f"_q int, seg int, doc long, score {self._score_t}")
 
     def search_with_timeout(self, query: Query, k: int = 10,
                             timeout_s: float = 30.0) -> list:

@@ -80,3 +80,35 @@ def test_search_many_plan_cached(spark, idx):
     df2 = s.search_many(queries, 5)
     assert df1 is df2  # same planned DataFrame object on the second call
     assert df1.count() == 10
+
+
+def test_search_many_with_deletes(spark, idx, tmp_path):
+    """Collector kernel must mask tombstones in-worker BEFORE per-segment
+    ranks are assigned — a deleted doc may not occupy a top-k slot (same
+    semantics as the per-query _live anti-join)."""
+    import shutil
+
+    from rucene_spark.merge import delete_by_keys
+
+    d = str(tmp_path / "del_idx")
+    shutil.copytree(idx, d)
+    s0 = IndexSearcher(spark, d)
+    # delete the current top-2 docs for "table" so ranks must shift
+    top = s0.search(TermQuery("text", "table"), 2).collect()
+    delete_by_keys(d, [r["doc_id"] for r in top])
+    s = IndexSearcher(spark, d)
+    queries = [
+        TermQuery("text", "table"),
+        BooleanQuery.build(
+            [], [TermQuery("text", "table"), TermQuery("text", "query")],
+            [], [], min_should_match=1),
+    ]
+    batch = s.search_many(queries, 10).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["doc_id"], round(r["score"], 6)))
+    deleted = {r["doc_id"] for r in top}
+    for i, q in enumerate(queries):
+        assert by_qid.get(i, []) == _rows(s.search(q, 10)), f"qid {i}"
+        assert not deleted & {d_ for d_, _ in by_qid.get(i, [])}
