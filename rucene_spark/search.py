@@ -189,6 +189,162 @@ def _collector_seg_reduce(doc, qid, gid, role, sc, g_role, g_nm, g_nf,
     return qs_[sel], ds_[sel], ss_[sel]
 
 
+def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
+                     cache, coef64, k1_, b_, avgdl64):
+    """Segment-local exact-phrase top-k with impact-ordered verification.
+
+    ``tds[ti]`` holds one unique term's postings for THIS segment:
+    sorted ``docs``, aligned ``tfs``/``nbs``/``dls``, per-block entry
+    ``counts`` and the still-encoded ``pos_bins`` blobs.  The phrase
+    frequency of a doc is bounded by its minimum per-slot tf
+    (phrase_scorer.rs:179-229: every occurrence consumes one position of
+    every slot), and the BM25 kernel is monotone in freq, so
+    ``ub(doc) = score(min_tf)`` is a true float32 upper bound.  Docs are
+    verified in ub-descending chunks; once k docs are verified with true
+    score θ, every remaining doc has ``ub < θ`` and is skipped WITHOUT
+    its positions ever being decoded — pos_bin blocks no chunk doc lands
+    in are never varint-decoded at all (the phrase analogue of
+    search_blockmax's per-block bound; the reference has no phrase
+    impacts — phrase_query.rs:223-270 bails only via two-phase
+    match_cost — so rank identity vs the exhaustive JVM path is
+    test-asserted, tests/test_phrase_collector.py).
+
+    Verification itself is whole-chunk vectorized: each slot's positions
+    become ``doc * SHIFT + (pos - slot_offset + pad)`` keys and the
+    per-doc intersection of shifted position sets is one sorted
+    ``np.intersect1d`` chain; freq per doc falls out of a unique-count
+    over the surviving keys' doc prefixes.
+    """
+    uniq_tis = sorted({ti for ti, _ in slots})
+    conj = tds[uniq_tis[0]]["docs"]
+    for ti in uniq_tis[1:]:
+        conj = np.intersect1d(conj, tds[ti]["docs"], assume_unique=True)
+        if conj.size == 0:
+            break
+    if tomb is not None and conj.size:
+        pos_ = np.searchsorted(tomb, conj)
+        dead = (pos_ < len(tomb)) & (
+            tomb[np.minimum(pos_, len(tomb) - 1)] == conj)
+        conj = conj[~dead]
+    if conj.size == 0:
+        e64 = np.empty(0, dtype=np.float64)
+        return np.empty(0, dtype=np.int64), e64
+
+    ent = {ti: np.searchsorted(tds[ti]["docs"], conj) for ti in uniq_tis}
+    min_tf = tds[uniq_tis[0]]["tfs"][ent[uniq_tis[0]]]
+    for ti in uniq_tis[1:]:
+        min_tf = np.minimum(min_tf, tds[ti]["tfs"][ent[ti]])
+    t0 = uniq_tis[0]
+    nbs_c = tds[t0]["nbs"][ent[t0]]
+    dls_c = tds[t0]["dls"][ent[t0]]
+    if lucene:
+        mt = min_tf.astype(np.float32)
+        ub = (wk32 * mt) / (mt + cache[nbs_c])
+        ub64 = ub.astype(np.float64)
+    else:
+        mt = min_tf.astype(np.float64)
+        ub64 = coef64 * mt / (
+            mt + k1_ * ((1.0 - b_) + b_ * dls_c.astype(np.float64) / avgdl64))
+    order = np.lexsort((conj, -ub64))
+
+    offpad = max(offsets) if offsets else 0
+    pos_cache: dict[tuple[int, int], tuple] = {}
+
+    def _gather(ti, ent_chunk, docs_chunk):
+        """positions of the given (ascending) entries of term ti →
+        (doc-repeated array, flat positions), decoding only the pos_bin
+        blocks the entries land in (memoized across chunks)."""
+        td = tds[ti]
+        blk_ends = td["blk_ends"]
+        blk_starts = blk_ends - td["counts"]
+        bi = np.searchsorted(blk_ends, ent_chunk, side="right")
+        d_parts, p_parts = [], []
+        for b in np.unique(bi):
+            m = bi == b
+            lo, hi = int(blk_starts[b]), int(blk_ends[b])
+            got = pos_cache.get((ti, b))
+            if got is None:
+                tf_b = td["tfs"][lo:hi]
+                flat, _ = batch_unpack_positions([td["pos_bins"][b]], tf_b)
+                got = (flat, np.cumsum(tf_b) - tf_b)
+                pos_cache[(ti, b)] = got
+            flat, eoff = got
+            e_rel = ent_chunk[m] - lo
+            tfe = td["tfs"][lo:hi][e_rel]
+            tot = int(tfe.sum())
+            idx = (np.repeat(eoff[e_rel], tfe) + np.arange(tot)
+                   - np.repeat(np.cumsum(tfe) - tfe, tfe))
+            p_parts.append(flat[idx])
+            d_parts.append(np.repeat(docs_chunk[m], tfe))
+        return np.concatenate(d_parts), np.concatenate(p_parts)
+
+    vd_parts, vs_parts = [], []
+    n_hits = 0
+    theta = None
+    n = len(order)
+    i = 0
+    chunk = max(int(chunk0), 4 * k, 1)
+    while i < n:
+        if theta is not None and ub64[order[i]] < theta:
+            break
+        sel = order[i:min(n, i + chunk)]
+        so = np.argsort(conj[sel])
+        cd = conj[sel][so]
+        nbs_k = nbs_c[sel][so]
+        dls_k = dls_c[sel][so]
+
+        acc = None
+        maxpos = 0
+        slot_keys = []
+        gathered = {}
+        for ti, off in slots:
+            g = gathered.get(ti)
+            if g is None:
+                g = gathered[ti] = _gather(ti, ent[ti][sel][so], cd)
+            maxpos = max(maxpos, int(g[1].max(initial=0)))
+            slot_keys.append((g, off))
+        # key on the doc's RANK within the chunk (not the global doc id)
+        # so rank << bits can never overflow int64
+        bits = int(maxpos + offpad + 2).bit_length()
+        for (dr, pr), off in slot_keys:
+            keys = (np.searchsorted(cd, dr) << np.int64(bits)) + (
+                pr - off + offpad)
+            acc = keys if acc is None else np.intersect1d(
+                acc, keys, assume_unique=True)
+            if acc.size == 0:
+                break
+        freq = np.zeros(len(cd), dtype=np.int64)
+        if acc is not None and acc.size:
+            hr, hc = np.unique(acc >> np.int64(bits), return_counts=True)
+            freq[hr] = hc
+        hit = freq > 0
+        if hit.any():
+            fr = freq[hit].astype(np.float64)
+            if lucene:
+                tff = fr.astype(np.float32)
+                sc = (wk32 * tff) / (tff + cache[nbs_k[hit]])
+                sc = sc.astype(np.float64)
+            else:
+                denom = fr + k1_ * (
+                    (1.0 - b_) + b_ * dls_k[hit].astype(np.float64) / avgdl64)
+                sc = coef64 * fr / denom
+            vd_parts.append(cd[hit])
+            vs_parts.append(sc)
+            n_hits += int(hit.sum())
+            if n_hits >= k:
+                allsc = np.concatenate(vs_parts)
+                theta = float(np.partition(allsc, len(allsc) - k)[len(allsc) - k])
+        i += len(sel)
+        chunk *= 4
+
+    if not vd_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    dv = np.concatenate(vd_parts)
+    sv = np.concatenate(vs_parts)
+    o = np.lexsort((dv, -sv))[:k]
+    return dv[o], sv[o]
+
+
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
 _ROLE_CODE = {"m": 0, "s": 1, "f": 2, "n": 3}  # boolean clause roles
@@ -416,7 +572,16 @@ class IndexSearcher:
         hit = self._plan_cache.get(ck)
         if hit is not None:
             return hit
-        frame = self._live(self._frame(query, np.float32(1.0), needs_scores=True))
+        q0, b0 = self._fold_boost(query, np.float32(1.0))
+        if (isinstance(q0, PhraseQuery) and q0.slop == 0
+                and (self._deleted is None or self._bcast_deleted)
+                and os.environ.get("RUCENE_PHRASE_COLLECTOR", "1") != "0"):
+            # root exact phrase: per-segment impact-pruned collector —
+            # already live-masked and per-seg top-k'd in the worker
+            frame = self._phrase_collector_topk(q0, b0, k)
+        else:
+            frame = self._live(
+                self._frame(query, np.float32(1.0), needs_scores=True))
         topk = frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
         out = (
             self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
@@ -663,8 +828,17 @@ class IndexSearcher:
                 .withColumn("_rn", F.row_number().over(w2))
                 .filter(F.col("_rn") <= k).drop("_rn"))
         for i in others:
-            frame = self._live(
-                self._frame(queries[i], np.float32(1.0), needs_scores=True))
+            qi, bi = self._fold_boost(queries[i], np.float32(1.0))
+            if (isinstance(qi, PhraseQuery) and qi.slop == 0
+                    and (self._deleted is None or self._bcast_deleted)
+                    and os.environ.get(
+                        "RUCENE_PHRASE_COLLECTOR", "1") != "0"):
+                # exact phrases ride the zero-shuffle per-segment
+                # collector (already live-masked + per-seg top-k'd)
+                frame = self._phrase_collector_topk(qi, bi, k)
+            else:
+                frame = self._live(self._frame(
+                    queries[i], np.float32(1.0), needs_scores=True))
             branches.append(
                 frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
                 .select(F.lit(i).alias("qid"), "seg", "doc", "score"))
@@ -2096,6 +2270,112 @@ class IndexSearcher:
             "seg int, doc long, ti int, norm_byte int, dl long,"
             " positions array<long>",
         )
+
+    def _phrase_collector_topk(self, q: PhraseQuery, boost: np.float32,
+                               k: int) -> DataFrame:
+        """Zero-shuffle exact-phrase top-k — the per-segment collector
+        kernel (see _collector_topk_frame) extended to phrases, with
+        impact-ordered verification (_phrase_seg_topk).
+
+        The exhaustive exact path (_phrase_frame, slop=0) shuffles one
+        position-array row per (candidate doc, term) into a (seg, doc)
+        groupBy — corpus-sized for a stopword phrase (51.7s at 1M docs,
+        BENCH_1M.json q_stopword_phrase).  Here each worker holds a whole
+        segment's postings for the phrase terms (the searcher pins
+        one-segment-file-per-partition), so conjunction, the min-tf
+        score upper bound, ub-ordered position verification, tombstone
+        masking and the per-segment top-k all happen in numpy inside the
+        scan stage; only ≤ k rows per segment ever leave the executors,
+        and pos_bin blocks that cannot beat θ are never varint-decoded.
+        Used only where per-seg top-k is sound: a ROOT exact phrase going
+        straight to the collector (search()), never as a boolean clause.
+        Scores are bit-identical to _phrase_frame (same float32 kernel,
+        same freq) — asserted by tests/test_phrase_collector.py."""
+        self._check_field(q.field)
+        self._check_positions(q.field)
+        stats = self._stats_for([(q.field, t) for t in set(q.terms)])
+        if any((q.field, t) not in stats for t in q.terms):
+            return self.spark.createDataFrame([], self._score_schema)
+        idf_total = np.float32(0.0)
+        idf64_total = 0.0
+        for t in q.terms:
+            df_ = int(stats[(q.field, t)]["df"])
+            idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
+            idf64_total += float(np.log(
+                1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        k1_, b_ = self.sim_f[q.field]
+        weight32 = np.float32(idf_total * boost)
+        wk32 = np.float32(weight32 * (np.float32(k1_) + np.float32(1.0)))
+        coef64 = (idf64_total * float(boost)) * _kp1_64(k1_)
+
+        uniq_terms = sorted(set(q.terms))
+        ti_of = {t: i for i, t in enumerate(uniq_terms)}
+        slots = [(ti_of[t], int(o)) for t, o in zip(q.terms, q.positions)]
+        offsets = [int(o) for o in q.positions]
+        n_uniq = len(uniq_terms)
+        cache = self.cache_f[q.field]
+        avgdl64 = self.avgdl64_f[q.field]
+        lucene = self.scoring == "lucene"
+        tomb = self._tomb_by_seg()
+        k_ = int(k)
+        chunk0 = int(os.environ.get("RUCENE_PHRASE_CHUNK", "4096"))
+        term_ti = ti_of
+
+        def fn(batches):
+            bufs: list[pd.DataFrame] = []
+            for pdf in batches:
+                if len(pdf):
+                    bufs.append(pdf)
+            if not bufs:
+                return
+            all_ = pd.concat(bufs, ignore_index=True)
+            seg_a = all_["seg"].to_numpy(np.int32)
+            out_s, out_d, out_sc = [], [], []
+            for s in np.unique(seg_a):
+                sub = all_[seg_a == s]
+                tds = {}
+                for t, grp in sub.groupby("term", sort=False):
+                    grp = grp.sort_values("block_id")
+                    counts = grp["num_docs"].to_numpy(np.int64)
+                    docs = batch_delta_decode(
+                        batch_unpack(grp["docs_bin"].tolist(), counts),
+                        counts).astype(np.int64)
+                    tds[term_ti[t]] = {
+                        "docs": docs,
+                        "tfs": batch_unpack(grp["tfs_bin"].tolist(),
+                                            counts).astype(np.int64),
+                        "nbs": batch_unpack(grp["norms_bin"].tolist(),
+                                            counts).astype(np.int64),
+                        "dls": batch_unpack(grp["dls_bin"].tolist(),
+                                            counts).astype(np.int64),
+                        "counts": counts,
+                        "blk_ends": np.cumsum(counts),
+                        "pos_bins": grp["pos_bin"].tolist(),
+                    }
+                if len(tds) < n_uniq:
+                    continue
+                dv, sv = _phrase_seg_topk(
+                    tds, slots, offsets, tomb.get(int(s)), k_, chunk0,
+                    lucene, wk32, cache, coef64, k1_, b_, avgdl64)
+                if len(dv) == 0:
+                    continue
+                out_s.append(np.full(len(dv), s, dtype=np.int32))
+                out_d.append(dv)
+                out_sc.append(sv)
+            if not out_s:
+                return
+            yield pd.DataFrame({
+                "seg": np.concatenate(out_s),
+                "doc": np.concatenate(out_d),
+                "score": np.concatenate(out_sc),
+            })
+
+        scan = self._postings.filter(
+            (F.col("field") == q.field) & F.col("term").isin(uniq_terms)
+        ).select("term", "seg", "block_id", "num_docs", "docs_bin",
+                 "tfs_bin", "norms_bin", "dls_bin", "pos_bin")
+        return scan.mapInPandas(
+            fn, f"seg int, doc long, score {self._score_t}")
 
     def _phrase_frame(self, q: PhraseQuery, boost: np.float32, stats: dict) -> DataFrame:
         """ONE postings scan for all phrase terms (``term IN (...)`` pushed

@@ -19,7 +19,8 @@ Stages:
 Writes BENCH_1M.json at the repo root; prints one JSON line.
 
 Env: BENCH1M_DOCS (default 1_000_000), BENCH1M_CPUS (default 32),
-     BENCH1M_VECS (default 200_000).
+     BENCH1M_VECS (default 200_000), BENCH1M_CELLS (IVF cells, 256),
+     BENCH1M_OUT (output filename, BENCH_1M.json).
 """
 
 from __future__ import annotations
@@ -37,8 +38,12 @@ sys.path.insert(0, REPO)
 DOCS = int(os.environ.get("BENCH1M_DOCS", "1000000"))
 CPUS = int(os.environ.get("BENCH1M_CPUS", "32"))
 VECS = int(os.environ.get("BENCH1M_VECS", "200000"))
+CELLS = int(os.environ.get("BENCH1M_CELLS", "256"))
+OUT = os.environ.get("BENCH1M_OUT", "BENCH_1M.json")
 N_PARTS = 64
-TMPFS = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+TMPFS = os.environ.get(
+    "BENCH1M_TMP",
+    "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
 
 
 def main() -> None:
@@ -204,17 +209,17 @@ def main() -> None:
         emb = spark.read.parquet(vec_dir)
         ivf_dir = os.path.join(work, "ivf")
         t0 = time.time()
-        ivf_build(emb, ivf_dir, n_cells=256)
-        stages["ivf_build_256"] = round(time.time() - t0, 2)
+        ivf_build(emb, ivf_dir, n_cells=CELLS)
+        stages[f"ivf_build_{CELLS}"] = round(time.time() - t0, 2)
         q = [float(x) for x in
              emb.filter("vec_id = 11").select("embedding").first()[0]]
         t0 = time.time()
         hits = ivf_search(spark, ivf_dir, q, k=10, nprobe=8).collect()
-        stages["ivf_probe_8_of_256"] = round(time.time() - t0, 2)
+        stages[f"ivf_probe_8_of_{CELLS}"] = round(time.time() - t0, 2)
         assert hits and hits[0]["vec_id"] == 11  # self is nearest
 
         out["total_secs"] = round(time.time() - t_all, 2)
-        with open(os.path.join(REPO, "BENCH_1M.json"), "w") as fh:
+        with open(os.path.join(REPO, OUT), "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps(out))
     finally:

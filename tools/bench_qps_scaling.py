@@ -69,31 +69,39 @@ queries = [QueryStringQueryBuilder(qs, [("text", 1.0)]).build()
            for qs in qs_list]
 
 # Micro-batch serving (IndexSearcher.search_many): a throughput tier
-# aggregates concurrent requests into batches — ONE distributed job per
-# batch instead of one per query, so per-job driver dispatch (a fixed,
-# core-count-independent cost) is amortized over the whole batch and the
-# measured scaling reflects cluster work, not the dispatch floor.
-# Concurrency (streams) and offered load are IDENTICAL at both levels;
-# each stream repeatedly serves the full reference batch.
-batch_df = searcher.search_many(queries, 10)
+# aggregates concurrent requests into micro-batches — ONE distributed
+# job per batch instead of one per query, so per-job driver dispatch (a
+# fixed, core-count-independent cost) is amortized over the whole batch
+# and the measured scaling reflects cluster work, not the dispatch
+# floor.  Each serve call takes a DISTINCT batch from the pool and the
+# plan cache is cleared between passes: re-collecting one cached
+# DataFrame would let Spark skip the already-materialized shuffle map
+# stages (stage reuse), timing only the final merge — a serving tier
+# sees NEW queries every batch, so every timed collect here re-runs the
+# scan + decode + score work.  Term-stats memoization across batches is
+# kept (a real tier caches df/ttf the same way).  Concurrency (streams)
+# and offered load are IDENTICAL at both levels.
+bs = int(os.environ.get("RS_BATCH", "32"))
+batches = [queries[i:i + bs] for i in range(0, len(queries), bs)]
 
-def serve_batch(_):
-    return batch_df.collect()   # full distributed job per call
+def serve_batch(bi):
+    return searcher.search_many(batches[bi], 10).collect()
 
 n_streams = int(os.environ.get("RS_STREAMS", "4"))
-reps = int(os.environ.get("RS_REPS", "3"))
 with ThreadPoolExecutor(n_streams) as pool:
-    list(pool.map(serve_batch, range(n_streams)))  # warm-up
+    list(pool.map(serve_batch, range(len(batches))))  # warm-up
     walls = []
     for _ in range(passes):
+        searcher._plan_cache.clear()   # force fresh jobs (see above)
         t0 = time.time()
-        list(pool.map(serve_batch, range(n_streams * reps)))
+        list(pool.map(serve_batch, range(len(batches))))
         walls.append(time.time() - t0)
 
-n_served = n_streams * reps * len(queries)
+n_served = len(queries)
 print(json.dumps({
     "cores": cores,
     "streams": n_streams,
+    "batch_size": bs,
     "queries_per_pass": n_served,
     "wall_secs_runs": [round(w, 3) for w in walls],
     "qps_runs": [round(n_served / w, 3) for w in walls],
