@@ -148,9 +148,20 @@ def main() -> None:
                 [t_hi, t_mid, t_lo], 10
             ).collect()
 
+        # search()/search_many() memoize built plans; a timed rep must not
+        # re-collect a cached DataFrame (Spark would reuse the already
+        # materialized shuffle map stages and time only the final merge),
+        # so every rep clears the plan cache first — same honesty rule as
+        # tools/bench_qps_scaling.py
+        def _fresh(fn):
+            def run():
+                searcher._plan_cache.clear()
+                fn()
+            return run
+
         queries_max: dict[str, float] = {}
         for name, fn in bench_queries.items():
-            med, mx = _timed(fn, reps)
+            med, mx = _timed(_fresh(fn), reps)
             queries[name] = round(med, 4)
             queries_max[name] = round(mx, 4)
 
@@ -164,7 +175,8 @@ def main() -> None:
                       f"({t_hi} | {t_mid})", f"+{t_lo}", f"{t_mid}^3",
                       f"{t_hi} {t_mid} {t_lo}", f"+{t_hi} +{t_mid}",
                       f"{t_lo} {t_mid}^0.1")]
-        med, mx = _timed(lambda: searcher.search_many(many, 10).collect(), reps)
+        med, mx = _timed(
+            _fresh(lambda: searcher.search_many(many, 10).collect()), reps)
         queries["serve_batch16"] = round(med, 4)
         queries_max["serve_batch16"] = round(mx, 4)
     finally:
@@ -238,8 +250,15 @@ def main() -> None:
                 large_queries["blockmax"] = lambda: ls.search_blockmax(
                     [s1, s2, s3], 10).collect()
             lreps = max(1, reps - 1)
+
+            def _lfresh(fn):
+                def run():
+                    ls._plan_cache.clear()   # same stage-reuse honesty rule
+                    fn()
+                return run
+
             for name, fn in large_queries.items():
-                med, _ = _timed(fn, lreps)
+                med, _ = _timed(_lfresh(fn), lreps)
                 large[f"q_{name}"] = round(med, 4)
         finally:
             shutil.rmtree(work, ignore_errors=True)

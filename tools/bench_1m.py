@@ -20,7 +20,8 @@ Writes BENCH_1M.json at the repo root; prints one JSON line.
 
 Env: BENCH1M_DOCS (default 1_000_000), BENCH1M_CPUS (default 32),
      BENCH1M_VECS (default 200_000), BENCH1M_CELLS (IVF cells, 256),
-     BENCH1M_OUT (output filename, BENCH_1M.json).
+     BENCH1M_OUT (output filename, BENCH_1M.json),
+     BENCH1M_PARTS (generation/segment partitions, default 64).
 """
 
 from __future__ import annotations
@@ -40,7 +41,9 @@ CPUS = int(os.environ.get("BENCH1M_CPUS", "32"))
 VECS = int(os.environ.get("BENCH1M_VECS", "200000"))
 CELLS = int(os.environ.get("BENCH1M_CELLS", "256"))
 OUT = os.environ.get("BENCH1M_OUT", "BENCH_1M.json")
-N_PARTS = 64
+# partition count = generation tasks = index segments; raise for >1M docs
+# so each Python worker holds ~40k docs of pandas state, not 150k+
+N_PARTS = int(os.environ.get("BENCH1M_PARTS", "64"))
 TMPFS = os.environ.get(
     "BENCH1M_TMP",
     "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
