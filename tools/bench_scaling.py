@@ -249,6 +249,9 @@ def main() -> None:
                 q = QueryStringQueryBuilder(qs, [("text", 1.0)]).build()
                 searcher.search(q, 10).collect()  # warm
                 for _ in range(LAT_REPS):
+                    # search() memoizes plans; a timed rep must not reuse
+                    # the cached DataFrame's materialized shuffle stages
+                    searcher._plan_cache.clear()
                     t0 = time.time()
                     searcher.search(q, 10).collect()
                     times.append(time.time() - t0)
