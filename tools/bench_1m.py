@@ -122,7 +122,15 @@ def main() -> None:
             TermQuery,
         )
 
-        searcher = IndexSearcher(spark, idx, scoring="lucene")
+        # the default verify_candidate_cap (2M) rejects the deliberately
+        # adversarial stopword-class span query at >=10M docs — that
+        # guardrail working is the tested behavior (test_verify_cap);
+        # the bench raises it explicitly to MEASURE the capped path's
+        # throughput at corpus scale, per the cap's documented escape
+        # hatch (IndexSearcher(verify_candidate_cap=...)).
+        searcher = IndexSearcher(spark, idx, scoring="lucene",
+                                 verify_candidate_cap=max(2_000_000,
+                                                          2 * DOCS))
         hi, mid, lo = "t000000", "t000050", "t002000"
         suite = {
             "term_topk": lambda: searcher.search(
@@ -149,14 +157,21 @@ def main() -> None:
                               slop=3, in_order=True), 10).collect(),
         }
         for name, fn in suite.items():
-            fn()  # warm-up
-            # search() memoizes built plans; re-collecting the cached
-            # DataFrame would reuse materialized shuffle stages and time
-            # only the final merge (same honesty rule as bench.py)
-            searcher._plan_cache.clear()
-            t0 = time.time()
-            fn()
-            stages[f"q_{name}"] = round(time.time() - t0, 2)
+            # one pathological query must not void a multi-hour run:
+            # record the failure and keep benchmarking the rest
+            try:
+                fn()  # warm-up
+                # search() memoizes built plans; re-collecting the cached
+                # DataFrame would reuse materialized shuffle stages and
+                # time only the final merge (same honesty rule as
+                # bench.py)
+                searcher._plan_cache.clear()
+                t0 = time.time()
+                fn()
+                stages[f"q_{name}"] = round(time.time() - t0, 2)
+            except Exception as exc:  # noqa: BLE001
+                stages[f"q_{name}"] = -1.0
+                out.setdefault("errors", {})[name] = repr(exc)[:300]
 
         # ---- 4. maintenance: delete ~2% + merge to quiescence + re-query
         from rucene_spark.merge import (
