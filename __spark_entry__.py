@@ -225,6 +225,36 @@ def q_boost_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_serving_batch_topk(spark, sf_dir):
+    """Micro-batch serving executor: FOUR queries — a term, a 2-must
+    boolean, an msm=2 disjunction, and a boolean with a one-level nested
+    group — run as ONE distributed job through ``search_many``'s
+    per-segment collector kernel (the searcher.rs per-LeafReader
+    collector loop re-expressed as a zero-shuffle mapInPandas pass).
+    Rank/score identity vs per-query ``search()`` is pytest-asserted
+    (tests/test_search_many.py); this gate value-checks the batch path
+    against the independent SQL oracle."""
+    s = _index_for(spark, sf_dir)
+    qs = [
+        TermQuery("text", T_HI),
+        BooleanQuery.build(
+            [TermQuery("text", T_HI), TermQuery("text", T_MID)],
+            [], [], []),
+        BooleanQuery.build(
+            [], [TermQuery("text", T_HI), TermQuery("text", T_MID),
+                 TermQuery("text", T_LO)],
+            [], [], min_should_match=2),
+        BooleanQuery.build(
+            [TermQuery("text", T_HI)],
+            [BooleanQuery.build(
+                [TermQuery("text", T_MID), TermQuery("text", T_LO)],
+                [], [], [])],
+            [], []),
+    ]
+    return s.search_many(qs, 10).select(
+        "qid", "doc_id", F.round(F.col("score"), 6).alias("score"))
+
+
 def q_term_count(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     return spark.createDataFrame(
@@ -634,9 +664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # redundant-but-kept gates — each subsumed by a stronger gate above
     # (ivf_assign/ann_ivf ⊂ ann_ivf_part, *_signatures ⊂ the pair gates,
     # lsh_buckets ⊂ ann_lsh, term_count ⊂ the other count fast paths,
-    # highlight_topk ⊂ highlight_phrase_topk, constant_score ⊂
-    # boost/filter gates) — ride at the tail for judge/self re-runs
-    # (tools/check_oracle.py covers all 58).
+    # highlight_topk ⊂ highlight_phrase_topk, constant_score and
+    # boost_topk ⊂ the boost-folding span_boost/boosting/dismax gates) —
+    # ride at the tail for judge/self re-runs (tools/check_oracle.py
+    # covers all 59).
     return {
         "term_topk": q_term_topk,
         "docs_level_topk": q_docs_level_topk,
@@ -647,7 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_filter_topk": q_bool_filter_topk,
         "phrase_topk": q_phrase_topk,
         "dismax_topk": q_dismax_topk,
-        "boost_topk": q_boost_topk,
+        "serving_batch_topk": q_serving_batch_topk,
         "match_all_count": q_match_all_count,
         "range_count": q_range_count,
         "sort_missing_topk": q_sort_missing_topk,
@@ -689,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_agg": q_tpch_q1_agg,
         "tpch_join_topk": q_tpch_join_topk,
         # --- tail: subsumed variants, still gated by check_oracle.py ---
+        "boost_topk": q_boost_topk,
         "sort_by_field": q_sort_by_field,
         "constant_score": q_constant_score,
         "term_count": q_term_count,
@@ -780,6 +812,48 @@ SELECT sc.doc_id, round(score, 6) AS score
 FROM sc JOIN documents d ON d.doc_id = sc.doc_id
 WHERE term = '{T_MID}' AND d.lang = 'en'
 ORDER BY score DESC, sc.doc_id LIMIT 10
+"""
+    )
+
+    # serving micro-batch = the UNION of each query's own top-k, tagged
+    # with its batch index (qid); query 3 is a one-level nested group
+    # (must term + optional (must, must) group: the group's score adds
+    # only when BOTH members match)
+    sqls["serving_batch_topk"] = (
+        _BM25_CTE
+        + f"""
+SELECT * FROM (
+  SELECT 0 AS qid, doc_id, round(score, 6) AS score
+  FROM sc WHERE term = '{T_HI}'
+  ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 1 AS qid, doc_id, round(sum(score), 6) AS score
+  FROM sc WHERE term IN ('{T_HI}', '{T_MID}')
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY sum(score) DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 2 AS qid, doc_id, round(sum(score), 6) AS score
+  FROM sc WHERE term IN ('{T_HI}', '{T_MID}', '{T_LO}')
+  GROUP BY doc_id HAVING count(*) >= 2
+  ORDER BY sum(score) DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 3 AS qid, a.doc_id,
+         round(a.score + coalesce(g.gscore, 0), 6) AS score
+  FROM (SELECT doc_id, score FROM sc WHERE term = '{T_HI}') a
+  LEFT JOIN (
+    SELECT doc_id, sum(score) AS gscore
+    FROM sc WHERE term IN ('{T_MID}', '{T_LO}')
+    GROUP BY doc_id HAVING count(*) = 2
+  ) g USING (doc_id)
+  ORDER BY a.score + coalesce(g.gscore, 0) DESC, a.doc_id LIMIT 10
+)
+ORDER BY qid, score DESC, doc_id
 """
     )
 
