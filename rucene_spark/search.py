@@ -368,9 +368,11 @@ class IndexSearcher:
         exceeds the cap, the query is rejected with guidance instead of
         silently running a corpus-sized Python loop — the sloppy/span
         analogue of block-max's degenerate-path degrade. Two-distinct-
-        term sloppy phrases are exempt: their walk is batch-vectorized
-        (phrase.sloppy_phrase_freq_2term_batch). Raise the cap
-        explicitly for deliberate heavy queries."""
+        term sloppy phrases and 2-term-clause ORDERED span nears are
+        exempt: their walks are batch-vectorized
+        (phrase.sloppy_phrase_freq_2term_batch,
+        spans.ordered_near_freq_2term_batch). Raise the cap explicitly
+        for deliberate heavy queries."""
         self.spark = spark
         self.index_dir = index_dir
         self.scoring = scoring
@@ -2609,15 +2611,25 @@ class IndexSearcher:
         else:
             groups = [terms]
         full_mask = (1 << len(groups)) - 1
-        # span verify is per-doc Python (spans.py kernels): gate on the
-        # metadata candidate bound — a doc needs >=1 term of every
-        # required group, so min over groups of the group's summed df
-        # bounds the candidate set (round-3 VERDICT #1)
-        def _df(t: str) -> int:
-            row = stats.get((field, t))
-            return int(row["df"]) if row else 0
-        bound = min((sum(_df(t) for t in g) for g in groups), default=0)
-        self._check_verify_cap(bound, f"span query over {sorted(set(terms))!r}")
+        # the 2-term-clause ORDERED near ("a before b within n" — the
+        # common serving shape) verifies batch-vectorized
+        # (spans.ordered_near_freq_2term_batch), so it is exempt from the
+        # per-doc-Python candidate cap, like the 2-distinct-term sloppy
+        # phrase
+        fast2 = (spec[0] == "near" and bool(spec[3]) and len(spec[1]) == 2
+                 and all(s[0] == "term" for s in spec[1])
+                 and os.environ.get("RUCENE_SPAN_BATCH", "1") != "0")
+        if not fast2:
+            # span verify is per-doc Python (spans.py kernels): gate on
+            # the metadata candidate bound — a doc needs >=1 term of
+            # every required group, so min over groups of the group's
+            # summed df bounds the candidate set (round-3 VERDICT #1)
+            def _df(t: str) -> int:
+                row = stats.get((field, t))
+                return int(row["df"]) if row else 0
+            bound = min((sum(_df(t) for t in g) for g in groups), default=0)
+            self._check_verify_cap(
+                bound, f"span query over {sorted(set(terms))!r}")
         ti_mask: dict[int, int] = {}
         for gi, g in enumerate(groups):
             for t in g:
@@ -2647,16 +2659,26 @@ class IndexSearcher:
         boost64 = float(boost)
         coef64 = (idf64_total * boost64) * _kp1_64(k1_)
 
+        ta2 = spec[1][0][1] if fast2 else -1
+        tb2 = spec[1][1][1] if fast2 else -1
+        slop2 = spec[2] if fast2 else 0
+        from .spans import ordered_near_freq_2term_batch
+
         def verify(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                freqs = np.zeros(len(pdf), dtype=np.float64)
                 pms = pdf["_pm"].tolist()
-                for r in range(len(pdf)):
-                    pos_map = {ti: np.asarray(pl, dtype=np.int64)
-                               for ti, pl in pms[r].items()}
-                    freqs[r] = float(span_freq(spec, pos_map))
+                if fast2:
+                    freqs = ordered_near_freq_2term_batch(
+                        [m[ta2] for m in pms], [m[tb2] for m in pms],
+                        slop2).astype(np.float64)
+                else:
+                    freqs = np.zeros(len(pdf), dtype=np.float64)
+                    for r in range(len(pdf)):
+                        pos_map = {ti: np.asarray(pl, dtype=np.int64)
+                                   for ti, pl in pms[r].items()}
+                        freqs[r] = float(span_freq(spec, pos_map))
                 mask = freqs > 0
                 if not mask.any():
                     continue

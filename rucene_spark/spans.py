@@ -165,3 +165,70 @@ def span_freq(spec, pos_map: dict) -> np.float32:
         freq = np.float32(
             freq + np.float32(1.0) / np.float32(1.0 + width))
     return freq
+
+
+def ordered_near_freq_2term_batch(
+    lists_a: list,
+    lists_b: list,
+    slop: int,
+) -> np.ndarray:
+    """Vectorized ordered-near freq for the 2-TERM-clause span shape
+    ("a before b within n" — the common serving query) over a whole
+    batch of candidate docs at once.
+
+    For term spans the ordered walk (span_near.rs:725-821,
+    ``NearSpansOrdered``) is stateless: the clause pointers are monotone
+    (module docstring), so each first-clause position ``a``
+    independently matches the FIRST second-clause position
+    ``b >= a + 1`` with ``width = b - a - 1``, emitted iff
+    ``width <= slop``. When the second clause exhausts
+    (``one_exhausted_in_current_doc``), every later ``a`` is larger and
+    cannot match either — the scalar walk's early return equals the
+    masked vector form. With tf capped at 10 per term, at most 10
+    vectorized rounds (one per first-clause column) replace the per-doc
+    Python walk. Accumulation is float32 in ascending-``a`` emission
+    order — bit-identical to :func:`span_freq` on the same spec
+    (fuzz-asserted in tests/test_spans.py).
+    """
+    from itertools import chain
+
+    n = len(lists_a)
+    freq = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return freq
+    la = np.fromiter((len(x) for x in lists_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in lists_b), dtype=np.int64, count=n)
+    ma = int(la.max())
+    mb = int(lb.max())
+    if ma == 0 or mb == 0:
+        return freq
+    SENT = np.int64(2**62)
+    A = np.full((n, ma), SENT, dtype=np.int64)
+    B = np.full((n, mb), SENT, dtype=np.int64)
+    A[np.arange(ma) < la[:, None]] = np.fromiter(
+        chain.from_iterable(lists_a), dtype=np.int64, count=int(la.sum()))
+    B[np.arange(mb) < lb[:, None]] = np.fromiter(
+        chain.from_iterable(lists_b), dtype=np.int64, count=int(lb.sum()))
+    slop_ = np.int64(slop)
+    one32 = np.float32(1.0)
+    rows = np.arange(n)
+    for j in range(ma):
+        a = A[:, j]
+        # first B strictly above a (term spans: b >= a+1  <=>  b > a);
+        # SENT padding compares above every real position on both sides
+        idx = (B <= a[:, None]).sum(axis=1)
+        valid = (a != SENT) & (idx < lb)
+        b = B[rows, np.minimum(idx, mb - 1)]
+        width = b - a - np.int64(1)
+        # invalid rows can hold a nonsense (even negative) width; clamp
+        # before the division — they are masked out of the result anyway
+        wsafe = np.maximum(width, 0).astype(np.float32)
+        contrib = np.where(
+            valid & (width <= slop_),
+            one32 / (wsafe + one32),
+            np.float32(0.0),
+        ).astype(np.float32)
+        # adding +0.0f is exact in IEEE f32, so skipped rows/columns do
+        # not perturb the scalar kernel's accumulation order
+        freq = (freq + contrib).astype(np.float32)
+    return freq

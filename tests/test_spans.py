@@ -153,3 +153,56 @@ def test_span_count_and_unknown_field(spark, built, corpus, oracle):
     assert s.count(q) == oracle.count(q)
     with pytest.raises(ValueError, match="unknown field"):
         s.search(SpanTermQuery("body", hi), 5)
+
+
+# ---------------------------------------------------------------------------
+# vectorized 2-term ordered near (serving fast path)
+# ---------------------------------------------------------------------------
+
+
+def test_ordered_2term_batch_bit_identical_fuzz():
+    """ordered_near_freq_2term_batch == scalar span_freq, f32 BIT equality,
+    over 400 random docs incl. exhaustion / empty / same-term cases."""
+    from rucene_spark.spans import ordered_near_freq_2term_batch
+
+    rng = np.random.default_rng(42)
+    for slop in (0, 1, 3, 50):
+        lists_a, lists_b, expect = [], [], []
+        for _ in range(100):
+            na, nb = int(rng.integers(0, 11)), int(rng.integers(0, 11))
+            a = np.sort(rng.choice(60, size=na, replace=False)).astype(np.int64)
+            b = np.sort(rng.choice(60, size=nb, replace=False)).astype(np.int64)
+            if rng.integers(0, 4) == 0:
+                b = a.copy()  # same-term-twice shape
+            lists_a.append(a.tolist())
+            lists_b.append(b.tolist())
+            spec = ("near", [("term", 0), ("term", 1)], slop, True)
+            expect.append(np.float32(span_freq(spec, {0: a, 1: b})))
+        got = ordered_near_freq_2term_batch(lists_a, lists_b, slop)
+        assert got.dtype == np.float32
+        assert [g.tobytes() for g in got] == [e.tobytes() for e in expect]
+
+
+def test_ordered_2term_span_exempt_from_cap(spark):
+    """The vectorized ordered 2-term span shape runs under a tiny cap
+    (like the 2-distinct-term sloppy exemption); unordered stays capped."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rucene_span_fast_idx_")
+    try:
+        IndexWriter(spark, d, n_segments=2).build(
+            spark.createDataFrame(make_corpus(200, seed=5)))
+        dfs = term_df_spectrum(make_corpus(200, seed=5))
+        hi = [t for t in dfs.index if dfs[t] >= 20]
+        a, b = hi[0], hi[1]
+        s = IndexSearcher(spark, d, verify_candidate_cap=1)
+        q = SpanNearQuery([SpanTermQuery("text", a), SpanTermQuery("text", b)],
+                          slop=4, in_order=True)
+        assert s.search(q, 10).count() >= 0  # runs despite cap=1
+        qu = SpanNearQuery([SpanTermQuery("text", a), SpanTermQuery("text", b)],
+                           slop=4, in_order=False)
+        with pytest.raises(ValueError, match="verify_candidate_cap"):
+            s.search(qu, 10)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
