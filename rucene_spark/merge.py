@@ -645,7 +645,17 @@ class SegmentMerger:
         n_parts = max(1, len(run))
         new_dir = f"seg-{new_seg}-m{token}"
         post_path = os.path.join(self.index_dir, "postings", new_dir)
-        _write_sorted(merged, post_path, n_parts,
+        # Postings MUST be one file per segment: the per-segment collector
+        # kernels (search_many / exact-phrase top-k) reduce partition-
+        # locally and the searcher pins one scan FILE per partition, so a
+        # segment split across files would split a doc's clause rows
+        # across partitions and corrupt the boolean/phrase arithmetic
+        # (IndexSearcher._segs_single_file guards legacy multi-file
+        # layouts). Parallelism is per-SEGMENT by design — Lucene's model
+        # — and max_merged_segment_bytes (5 GiB default) bounds the file;
+        # the remap above stays fully parallel, only the final sorted
+        # write is single-task.
+        _write_sorted(merged, post_path, 1,
                       ["field", "term", "block_id"])
 
         # --- docmeta remap

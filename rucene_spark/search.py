@@ -487,6 +487,27 @@ class IndexSearcher:
         self._stats_cache: dict[tuple[str, str], dict | None] = {}
         self._plan_cache: dict[tuple[str, int], DataFrame] = {}
         self._tomb_cache: dict[int, np.ndarray] | None = None
+        self._single_file: bool | None = None
+
+    def _segs_single_file(self) -> bool:
+        """True iff every committed postings segment dir holds exactly ONE
+        parquet file — the invariant the per-segment collector kernels
+        (search_many's _collector_topk_frame, _phrase_collector_topk)
+        require: their reduce is partition-local and the scan pins one
+        FILE per partition, so a segment split across files would split a
+        doc's clause rows across partitions and corrupt the boolean /
+        phrase arithmetic. Build and merge writers both emit single-file
+        postings; this memoized check (one listdir per segment, through
+        the storage seam, first collector use only) makes legacy
+        multi-file merged segments fall back to the layout-independent
+        JVM aggregation paths instead of returning wrong results."""
+        if self._single_file is None:
+            from .build import seg_table_paths
+            self._single_file = all(
+                sum(f.endswith(".parquet") for f in storage.listdir(p)) <= 1
+                for p in seg_table_paths(
+                    self.index_dir, self.manifest, "postings"))
+        return self._single_file
 
     def _tomb_by_seg(self) -> dict[int, np.ndarray]:
         """Resolved tombstones as per-segment sorted doc-id arrays, for the
@@ -577,7 +598,8 @@ class IndexSearcher:
         q0, b0 = self._fold_boost(query, np.float32(1.0))
         if (isinstance(q0, PhraseQuery) and q0.slop == 0
                 and (self._deleted is None or self._bcast_deleted)
-                and os.environ.get("RUCENE_PHRASE_COLLECTOR", "1") != "0"):
+                and os.environ.get("RUCENE_PHRASE_COLLECTOR", "1") != "0"
+                and self._segs_single_file()):
             # root exact phrase: per-segment impact-pruned collector —
             # already live-masked and per-seg top-k'd in the worker
             frame = self._phrase_collector_topk(q0, b0, k)
@@ -717,7 +739,8 @@ class IndexSearcher:
                 others.append(i)
 
         branches = []
-        if flat and (self._deleted is None or self._bcast_deleted):
+        if (flat and (self._deleted is None or self._bcast_deleted)
+                and self._segs_single_file()):
             # per-segment collector kernel: zero-shuffle scoring + boolean
             # arithmetic + per-(query, segment) top-k inside the worker;
             # only (n_q × n_seg × k) rows reach the final per-query merge
@@ -834,7 +857,8 @@ class IndexSearcher:
             if (isinstance(qi, PhraseQuery) and qi.slop == 0
                     and (self._deleted is None or self._bcast_deleted)
                     and os.environ.get(
-                        "RUCENE_PHRASE_COLLECTOR", "1") != "0"):
+                        "RUCENE_PHRASE_COLLECTOR", "1") != "0"
+                    and self._segs_single_file()):
                 # exact phrases ride the zero-shuffle per-segment
                 # collector (already live-masked + per-seg top-k'd)
                 frame = self._phrase_collector_topk(qi, bi, k)

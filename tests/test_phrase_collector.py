@@ -229,3 +229,25 @@ def test_collector_masks_tombstones(spark, corpus, index_dir, tmp_path):
     assert not gone & {r[key_col] for r in s.search(q, 5).collect()}
     assert [(r.seg, r.doc, r.score) for r in got] == [
         (r.seg, r.doc, r.score) for r in want]
+
+
+def test_phrase_collector_post_merge(spark, index_dir, corpus, tmp_path):
+    """After force_merge the exact-phrase collector must equal the
+    exhaustive JVM path (regression: multi-file merged segments split a
+    phrase's terms across scan partitions, emptying the per-partition
+    doc conjunction)."""
+    import shutil
+
+    from rucene_spark.merge import force_merge
+
+    d = str(tmp_path / "phc_merged")
+    shutil.copytree(index_dir, d)
+    force_merge(spark, d)
+    s = IndexSearcher(spark, d)
+    assert s._segs_single_file()
+    for terms in _phrases(corpus)[:2]:
+        q = PhraseQuery.build("text", terms, slop=0)
+        got, want = _both_paths(s, q, 10)
+        assert [(r.seg, r.doc, r.score) for r in got] == [
+            (r.seg, r.doc, r.score) for r in want]
+        assert got, f"phrase {terms} must still match post-merge"

@@ -112,3 +112,74 @@ def test_search_many_with_deletes(spark, idx, tmp_path):
     for i, q in enumerate(queries):
         assert by_qid.get(i, []) == _rows(s.search(q, 10)), f"qid {i}"
         assert not deleted & {d_ for d_, _ in by_qid.get(i, [])}
+
+
+def test_search_many_post_merge_multi_term(spark, idx, tmp_path):
+    """Merged segments must stay collector-safe: the merge writes
+    postings as ONE file per segment, so sort-order-distant terms of one
+    query cannot split across scan partitions (regression: multi-file
+    merged segments made the partition-local boolean reduce drop every
+    doc whose clauses landed in different files)."""
+    import glob
+    import shutil
+
+    from rucene_spark.build import load_manifest, seg_table_paths
+    from rucene_spark.merge import force_merge
+
+    d = str(tmp_path / "many_merged")
+    shutil.copytree(idx, d)
+    force_merge(spark, d)
+    m = load_manifest(d)
+    for p in seg_table_paths(d, m, "postings"):
+        assert len(glob.glob(p + "/*.parquet")) == 1
+    s = IndexSearcher(spark, d)
+    assert s._segs_single_file()
+    # terms chosen sort-order-apart so a range-partitioned multi-file
+    # layout would put them in different files
+    q = BooleanQuery.build(
+        [TermQuery("text", "agg"), TermQuery("text", "zone")], [], [], [])
+    q2 = BooleanQuery.build(
+        [], [TermQuery("text", "table"), TermQuery("text", "scan")],
+        [], [], min_should_match=2)
+    got = s.search_many([q, q2], 10).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append((r["doc_id"], round(r["score"], 6)))
+    assert by_qid.get(0, []) == _rows(s.search(q, 10))
+    assert by_qid.get(1, []) == _rows(s.search(q2, 10))
+
+
+def test_search_many_legacy_multifile_falls_back(spark, idx, tmp_path):
+    """A pre-fix index whose merged segment holds MULTIPLE postings files
+    must not reach the partition-local collector kernel: the searcher
+    detects the layout and serves through the layout-independent JVM
+    aggregation, returning the same results."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from rucene_spark.build import load_manifest, seg_table_paths
+
+    d = str(tmp_path / "many_legacy")
+    shutil.copytree(idx, d)
+    m = load_manifest(d)
+    p0 = seg_table_paths(d, m, "postings")[0]
+    f0 = glob.glob(p0 + "/*.parquet")[0]
+    t = pq.read_table(f0)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(p0, "part-a.parquet"))
+    pq.write_table(t.slice(half), os.path.join(p0, "part-b.parquet"))
+    os.remove(f0)
+    s = IndexSearcher(spark, d)
+    assert not s._segs_single_file()
+    q = BooleanQuery.build(
+        [TermQuery("text", "table"), TermQuery("text", "query")], [], [], [])
+    got = s.search_many([q], 10).collect()
+    ref = IndexSearcher(spark, idx)
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == _rows(
+        ref.search(q, 10))
+    # the exact-phrase collector must fall back too
+    pqry = PhraseQuery.build("text", ["key", "agg"], slop=0)
+    assert _rows(s.search(pqry, 10)) == _rows(ref.search(pqry, 10))
