@@ -604,8 +604,38 @@ class IndexSearcher:
             # already live-masked and per-seg top-k'd in the worker
             frame = self._phrase_collector_topk(q0, b0, k)
         else:
-            frame = self._live(
-                self._frame(query, np.float32(1.0), needs_scores=True))
+            fs = None
+            # Cost-based routing (the reference picks scorers by cost the
+            # same way, boolean_query.rs BooleanWeight): the collector
+            # kernel is zero-shuffle but pays a fixed mapInPandas setup
+            # (~0.5s measured), while the JVM frame path's shuffle grows
+            # with the corpus. Below the doc threshold the frame path
+            # wins (5k docs: 0.05s vs 0.6s); above it the kernel does
+            # (480k+: it is what closed the serving scaling axis).
+            min_docs = int(os.environ.get(
+                "RUCENE_COLLECTOR_MIN_DOCS", "100000"))
+            if (os.environ.get("RUCENE_TERM_COLLECTOR", "1") != "0"
+                    and self.doc_count >= min_docs
+                    and (self._deleted is None or self._bcast_deleted)
+                    and self._segs_single_file()):
+                fs = self._flat_specs(query, 0, [0])
+            if fs is not None:
+                # flattenable term/boolean query: the same zero-shuffle
+                # per-segment collector kernel a serving micro-batch uses
+                # (_collector_topk_frame), as a batch of one — one scan
+                # task per segment, k rows per segment out, no exchange
+                # before the final tiny merge.  Already live-masked and
+                # score-bit-identical to the _frame path
+                # (tests/test_search_many.py).
+                specs = fs[0]
+                stats = self._stats_for(
+                    [(f_, t) for f_, t, _, _, _ in specs])
+                frame = self._collector_topk_frame(
+                    specs, fs[2], {0: fs}, k, stats
+                ).select("seg", "doc", "score")
+            else:
+                frame = self._live(
+                    self._frame(query, np.float32(1.0), needs_scores=True))
         topk = frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
         out = (
             self._docmeta.join(F.broadcast(topk), ["seg", "doc"])

@@ -183,3 +183,32 @@ def test_search_many_legacy_multifile_falls_back(spark, idx, tmp_path):
     # the exact-phrase collector must fall back too
     pqry = PhraseQuery.build("text", ["key", "agg"], slop=0)
     assert _rows(s.search(pqry, 10)) == _rows(ref.search(pqry, 10))
+
+
+def test_single_query_collector_routing(spark, idx, monkeypatch):
+    """search() routes flattenable term/boolean queries through the
+    per-segment collector kernel above RUCENE_COLLECTOR_MIN_DOCS; the
+    routed result must be rank- and score-identical to the JVM frame
+    path (cost-based routing must never change semantics)."""
+    queries = [
+        TermQuery("text", "table"),
+        BooleanQuery.build(
+            [TermQuery("text", "scan")], [TermQuery("text", "table")],
+            [], []),
+        BooleanQuery.build(
+            [], [TermQuery("text", "table", boost=2.5),
+                 TermQuery("text", "query"),
+                 TermQuery("text", "scan")], [], [], min_should_match=2),
+        QueryStringQueryBuilder("+table (query scan^2)",
+                                [("text", 1.0)]).build(),
+        TermQuery("text", "tzzzzzz"),  # absent term
+    ]
+    monkeypatch.setenv("RUCENE_COLLECTOR_MIN_DOCS", "0")
+    routed = IndexSearcher(spark, idx)  # fresh: no cached frame plans
+    monkeypatch.setenv("RUCENE_TERM_COLLECTOR", "0")
+    frame = IndexSearcher(spark, idx)
+    for q in queries:
+        monkeypatch.setenv("RUCENE_TERM_COLLECTOR", "1")
+        got = _rows(routed.search(q, 10))
+        monkeypatch.setenv("RUCENE_TERM_COLLECTOR", "0")
+        assert got == _rows(frame.search(q, 10)), repr(q)
