@@ -1377,6 +1377,19 @@ class IndexSearcher:
             return self._docmeta.join(
                 self.spark.createDataFrame([], self._score_schema), ["seg", "doc"])
 
+        if (prune_counter is None
+                and os.environ.get("RUCENE_BMW_COLLECTOR", "1") != "0"
+                and (self._deleted is None or self._bcast_deleted)
+                and self._segs_single_file()):
+            # per-segment BMW collector: the whole θ/split/prune pipeline
+            # runs in numpy inside ONE scan pass (see
+            # _blockmax_collector_topk) instead of the 4-5 chained jobs
+            # below — 27.7s → kernel-bound at 10M docs, and still faster
+            # at 5k (one job beats five). The multi-job path remains for
+            # prune_counter introspection, multi-file segment layouts,
+            # and shuffle-scale tombstones.
+            return self._blockmax_collector_topk(infos, field, stats, k)
+
         # --- pass 1: θ from the strongest term, scored exactly
         driver_term, driver_boost, _ = max(infos, key=lambda x: x[2])
         first = (
@@ -1533,6 +1546,214 @@ class IndexSearcher:
                                      .alias("score")))
             .orderBy(F.desc("score"), "seg", "doc").limit(k)
         )
+        return (
+            self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
+            .orderBy(F.desc("score"), "seg", "doc")
+        )
+
+    def _blockmax_collector_topk(self, infos: list[tuple], field: str,
+                                 stats: dict, k: int) -> DataFrame:
+        """Zero-shuffle BMW top-k — search_blockmax's θ/MaxScore-split/
+        block-prune pipeline collapsed into the per-segment collector
+        kernel (one mapInPandas over the term-pruned scan, ≤k rows per
+        segment out), the way Lucene runs WAND per leaf inside one
+        collect pass rather than as separate jobs.
+
+        Per segment (= one scan partition, pinned by the searcher's
+        one-file-per-partition read):
+
+        1. θ_s: decode only the segment's strongest term (max block-ub
+           upper bound), score it exactly, mask tombstones, take the
+           k-th score. ≥k live docs have total ≥ θ_s (driver score is a
+           lower bound of the total — BM25 contributions are
+           non-negative), so θ_s lower-bounds the segment's true k-th
+           total and pruning against it keeps the segment top-k intact;
+           the global top-k is a subset of the per-segment top-k union.
+        2. MaxScore split on SEGMENT-LOCAL term bounds (max of the
+           term's block ubs in this segment — tighter than the global
+           bound the multi-job path uses).
+        3. Essential terms: decode only blocks with
+           ``block_ub + Σ_{t'≠t} tub(t') ≥ thr`` — pure arithmetic over
+           the (max_tf, max_norm_byte, min_dl) block metadata columns;
+           pruned blocks are never varint-decoded.
+        4. Candidates: essential partial + Σ ub(nonessential) ≥ thr.
+        5. Non-essential terms: decode only blocks whose
+           [first_doc, last_doc] holds a candidate (searchsorted), add
+           contributions for candidate docs only.
+
+        θ_s = 0 (fewer than k driver postings) makes thr negative and
+        every test above vacuous — the pass degrades to exhaustive
+        scoring, mirroring the multi-job path's ``theta > 0`` guard.
+        Scores: per-term kernel identical to _collector_topk_frame
+        (float32 in "lucene" mode), per-doc sum in float64, cast to the
+        score type — rank- and score-identical to the exhaustive
+        disjunction (tests/test_blockmax.py runs both routes)."""
+        lucene = self.scoring == "lucene"
+        cache = self.cache_f[field]
+        cache64 = cache.astype(np.float64)
+        avgdl64 = self.avgdl64_f[field]
+        k1_, b_ = self.sim_f[field]
+        kp1 = _kp1_64(k1_)
+        terms = [t for t, _, _ in infos]
+        ti_of = {t: i for i, t in enumerate(terms)}
+        n_t = len(terms)
+        wk32 = np.zeros(n_t, dtype=np.float32)
+        coef = np.zeros(n_t, dtype=np.float64)
+        for t, b, _ in infos:
+            w32, idf64, b64 = self._term_weights(field, t, b, stats)
+            wk32[ti_of[t]] = w32
+            coef[ti_of[t]] = (idf64 * b64) * kp1
+        wk64 = wk32.astype(np.float64)
+        tomb = self._tomb_by_seg()
+        k_ = int(k)
+        ftype = np.float32 if lucene else np.float64
+        slack = _UB_SLACK
+
+        def _decode(g: pd.DataFrame):
+            """(docs, tfs, norms-or-dls, element ti) for a row subset."""
+            counts = g["num_docs"].to_numpy(np.int64)
+            docs = batch_delta_decode(
+                batch_unpack(g["docs_bin"].tolist(), counts), counts
+            ).astype(np.int64)
+            tfs = batch_unpack(g["tfs_bin"].tolist(), counts)
+            if lucene:
+                aux = batch_unpack(g["norms_bin"].tolist(), counts
+                                   ).astype(np.int64)
+            else:
+                aux = batch_unpack(g["dls_bin"].tolist(), counts
+                                   ).astype(np.int64)
+            ti_el = np.repeat(
+                np.fromiter((ti_of[t] for t in g["term"]),
+                            dtype=np.int64, count=len(g)), counts)
+            return docs, tfs, aux, ti_el
+
+        def _score(tfs, aux, ti_el):
+            if lucene:
+                tff = tfs.astype(np.float32)
+                return ((wk32[ti_el] * tff)
+                        / (tff + cache[aux])).astype(np.float64)
+            tff = tfs.astype(np.float64)
+            denom = tff + k1_ * ((1.0 - b_)
+                                 + b_ * aux.astype(np.float64) / avgdl64)
+            return coef[ti_el] * tff / denom
+
+        def _mask_dead(tb, docs):
+            if tb is None or len(docs) == 0:
+                return np.ones(len(docs), dtype=bool)
+            pos = np.searchsorted(tb, docs)
+            return ~((pos < len(tb))
+                     & (tb[np.minimum(pos, len(tb) - 1)] == docs))
+
+        def fn(batches):
+            bufs = [p for p in batches if len(p)]
+            if not bufs:
+                return
+            all_ = pd.concat(bufs, ignore_index=True)
+            seg_a = all_["seg"].to_numpy(np.int32)
+            out_s, out_d, out_sc = [], [], []
+            for s in np.unique(seg_a):
+                sub = all_[seg_a == s]
+                tb = tomb.get(int(s))
+                ti_row = np.fromiter(
+                    (ti_of[t] for t in sub["term"]),
+                    dtype=np.int64, count=len(sub))
+                mtf = sub["max_tf"].to_numpy(np.float64)
+                if lucene:
+                    mnb = sub["max_norm_byte"].to_numpy(np.int64)
+                    bub = wk64[ti_row] * mtf / (mtf + cache64[mnb])
+                else:
+                    mdl = sub["min_dl"].to_numpy(np.float64)
+                    bub = coef[ti_row] * mtf / (
+                        mtf + k1_ * ((1.0 - b_) + b_ * mdl / avgdl64))
+                tub = np.zeros(n_t, dtype=np.float64)
+                np.maximum.at(tub, ti_row, bub)
+                present = np.unique(ti_row)
+                # 1) θ_s from the segment's strongest term
+                drv = int(present[np.lexsort(
+                    (present, -tub[present]))[0]])
+                drv_rows = ti_row == drv
+                d_docs, d_tfs, d_aux, d_ti = _decode(sub[drv_rows])
+                d_sc = _score(d_tfs, d_aux, d_ti)
+                live = _mask_dead(tb, d_docs)
+                live_sc = np.sort(d_sc[live].astype(ftype))
+                theta = float(live_sc[-k_]) if len(live_sc) >= k_ else 0.0
+                thr = theta * (1.0 - slack) - 1e-9
+                # 2) MaxScore split on segment-local bounds
+                order = present[np.lexsort((present, tub[present]))]
+                ness, acc = [], 0.0
+                for ti in order[:-1]:  # strongest term stays essential
+                    if theta > 0 and acc + tub[ti] < thr:
+                        ness.append(int(ti))
+                        acc += tub[ti]
+                    else:
+                        break
+                ness_set = set(ness)
+                ub_n = float(sum(tub[ti] for ti in ness))
+                total_ub = float(tub[present].sum())
+                # 3) essential blocks surviving the metadata bound
+                ess_rows = (~drv_rows & ~np.isin(ti_row, ness)
+                            & (bub + (total_ub - tub[ti_row]) >= thr))
+                docs_parts, sc_parts = [d_docs], [d_sc]
+                if ess_rows.any():
+                    e_docs, e_tfs, e_aux, e_ti = _decode(sub[ess_rows])
+                    docs_parts.append(e_docs)
+                    sc_parts.append(_score(e_tfs, e_aux, e_ti))
+                docs_c = np.concatenate(docs_parts)
+                sc_c = np.concatenate(sc_parts)
+                o = np.argsort(docs_c, kind="stable")
+                docs_c, sc_c = docs_c[o], sc_c[o]
+                nb = np.empty(len(docs_c), dtype=bool)
+                nb[0] = True
+                nb[1:] = docs_c[1:] != docs_c[:-1]
+                starts = np.flatnonzero(nb)
+                docs_u = docs_c[starts]
+                sums = np.add.reduceat(sc_c, starts)
+                # 4) candidates; 5) non-essential contributions
+                if ness_set:
+                    cand = sums + ub_n >= thr
+                    docs_u, sums = docs_u[cand], sums[cand]
+                    n_rows = np.isin(ti_row, ness)
+                    if n_rows.any() and len(docs_u):
+                        fd = sub["first_doc"].to_numpy(np.int64)[n_rows]
+                        ld = sub["last_doc"].to_numpy(np.int64)[n_rows]
+                        p = np.searchsorted(docs_u, fd)
+                        hit = (p < len(docs_u)) & (
+                            docs_u[np.minimum(p, len(docs_u) - 1)] <= ld)
+                        keep_idx = np.flatnonzero(n_rows)[hit]
+                        if len(keep_idx):
+                            n_docs, n_tfs, n_aux, n_ti = _decode(
+                                sub.iloc[keep_idx])
+                            n_sc = _score(n_tfs, n_aux, n_ti)
+                            pn = np.searchsorted(docs_u, n_docs)
+                            m = (pn < len(docs_u)) & (
+                                docs_u[np.minimum(pn, len(docs_u) - 1)]
+                                == n_docs)
+                            np.add.at(sums, pn[m], n_sc[m])
+                liveu = _mask_dead(tb, docs_u)
+                docs_u, sums = docs_u[liveu], sums[liveu]
+                if len(docs_u) == 0:
+                    continue
+                score = sums.astype(ftype)
+                top = np.lexsort((docs_u, -score))[:k_]
+                out_s.append(np.full(len(top), s, dtype=np.int32))
+                out_d.append(docs_u[top])
+                out_sc.append(score[top])
+            if not out_s:
+                return
+            yield pd.DataFrame({
+                "seg": np.concatenate(out_s),
+                "doc": np.concatenate(out_d),
+                "score": np.concatenate(out_sc),
+            })
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(terms)
+        ).select("term", "seg", "num_docs", "docs_bin", "tfs_bin",
+                 "norms_bin", "dls_bin", "max_tf", "max_norm_byte",
+                 "min_dl", "first_doc", "last_doc")
+        frame = scan.mapInPandas(
+            fn, f"seg int, doc long, score {self._score_t}")
+        topk = frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
         return (
             self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
             .orderBy(F.desc("score"), "seg", "doc")

@@ -99,3 +99,55 @@ def test_blockmax_degenerate_fallback_is_exact(spark, corpus, index_dir,
         # with a 0 cap, any multi-term query with candidates must degrade
         if ctr.get("n_nonessential", 0) and ctr.get("theta", 0) > 0:
             assert ctr.get("degenerate"), (terms, ctr)
+
+
+def test_blockmax_collector_matches_multijob(spark, corpus, index_dir,
+                                             monkeypatch):
+    """The per-segment BMW collector (default route on single-file
+    layouts) must be rank- and score-identical to the multi-job BMW path
+    on every term mix — and both must survive deletions."""
+    s = IndexSearcher(spark, index_dir, scoring="lucene")
+    for terms in _term_sets(corpus):
+        monkeypatch.setenv("RUCENE_BMW_COLLECTOR", "1")
+        kernel = s.search_blockmax(terms, 10).select(
+            "seg", "doc", "score").collect()
+        monkeypatch.setenv("RUCENE_BMW_COLLECTOR", "0")
+        multijob = s.search_blockmax(terms, 10).select(
+            "seg", "doc", "score").collect()
+        assert [(r.seg, r.doc) for r in kernel] == [
+            (r.seg, r.doc) for r in multijob], terms
+        assert [r.score for r in kernel] == pytest.approx(
+            [r.score for r in multijob], rel=1e-6), terms
+    monkeypatch.delenv("RUCENE_BMW_COLLECTOR")
+
+
+def test_blockmax_collector_with_tombstones(spark, corpus, tmp_path,
+                                            monkeypatch):
+    """Deleted docs must neither inflate the collector's segment-local θ
+    nor appear in its results."""
+    from rucene_spark.build import IndexWriter
+    from rucene_spark.merge import delete_by_keys
+
+    d = str(tmp_path / "bmw_tomb")
+    IndexWriter(spark, d, n_segments=4).build(
+        spark.createDataFrame(corpus[["url", "text", "lang"]]))
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    terms = [plain[0], plain[len(plain) // 3]]
+    # delete the current top-3 docs so θ must shift
+    s0 = IndexSearcher(spark, d, scoring="lucene")
+    top = s0.search_blockmax(terms, 3).collect()
+    delete_by_keys(d, [r["url"] for r in top])
+    s = IndexSearcher(spark, d, scoring="lucene")
+    gone = {(r.seg, r.doc) for r in top}
+    kernel = s.search_blockmax(terms, 10).select(
+        "seg", "doc", "score").collect()
+    assert not gone & {(r.seg, r.doc) for r in kernel}
+    exhaustive = s.search(
+        BooleanQuery.build([], [TermQuery("text", t) for t in terms],
+                           [], []), 10
+    ).select("seg", "doc", "score").collect()
+    assert [(r.seg, r.doc) for r in kernel] == [
+        (r.seg, r.doc) for r in exhaustive]
+    assert [r.score for r in kernel] == pytest.approx(
+        [r.score for r in exhaustive], rel=1e-6)
