@@ -603,6 +603,20 @@ class IndexSearcher:
             # root exact phrase: per-segment impact-pruned collector —
             # already live-masked and per-seg top-k'd in the worker
             frame = self._phrase_collector_topk(q0, b0, k)
+        elif (isinstance(q0, DisjunctionMaxQuery)
+              and os.environ.get("RUCENE_TERM_COLLECTOR", "1") != "0"
+              and self.doc_count >= int(os.environ.get(
+                  "RUCENE_COLLECTOR_MIN_DOCS", "100000"))
+              and (self._deleted is None or self._bcast_deleted)
+              and self._segs_single_file()
+              and all(isinstance(self._fold_boost(d, b0)[0], TermQuery)
+                      for d in q0.disjuncts)
+              and len({(self._fold_boost(d, b0)[0].field,
+                        self._fold_boost(d, b0)[0].term)
+                       for d in q0.disjuncts}) == len(q0.disjuncts)):
+            # root dismax over unique term disjuncts: per-segment
+            # collector (max + tie fold in-worker, ≤k rows per segment)
+            frame = self._dismax_collector_topk(q0, b0, k)
         else:
             fs = None
             # Cost-based routing (the reference picks scorers by cost the
@@ -1758,6 +1772,131 @@ class IndexSearcher:
             self._docmeta.join(F.broadcast(topk), ["seg", "doc"])
             .orderBy(F.desc("score"), "seg", "doc")
         )
+
+    def _dismax_collector_topk(self, q: "DisjunctionMaxQuery",
+                               boost: np.float32, k: int) -> DataFrame:
+        """Zero-shuffle DisjunctionMax top-k — the per-segment collector
+        kernel specialized to the dismax fold (dis_max.rs: score =
+        max(disjuncts) + tie_breaker * Σ(others)). One scan pass over
+        the disjunct terms' postings; per segment the worker decodes,
+        scores each disjunct with the shared BM25 kernel, reduces
+        max/sum per doc with reduceat, masks tombstones, and emits ≤k
+        rows. Requires all-TermQuery disjuncts with unique (field, term)
+        — the same precondition as the exhaustive path's one-scan fast
+        path — and is score-identical to it (per-term float32 kernel,
+        float64 fold, cast to the score type)."""
+        specs = []
+        for d in q.disjuncts:
+            d, db = self._fold_boost(d, boost)
+            specs.append((d.field, d.term,
+                          float(np.float32(db * np.float32(d.boost)))))
+        stats = self._stats_for([(f_, t) for f_, t, _ in specs])
+        lucene = self.scoring == "lucene"
+        ftype = np.float32 if lucene else np.float64
+        n_c = len(specs)
+        wk32 = np.zeros(n_c, dtype=np.float32)
+        coef = np.zeros(n_c, dtype=np.float64)
+        k1_a = np.zeros(n_c, dtype=np.float64)
+        b_a = np.zeros(n_c, dtype=np.float64)
+        avg_a = np.zeros(n_c, dtype=np.float64)
+        flds: list[str] = []
+        ci_of: dict[tuple[str, str], int] = {}
+        for i, (f_, t, b) in enumerate(specs):
+            self._check_field(f_)
+            w32, idf64, b64 = self._term_weights(f_, t, b, stats)
+            k1_, b_ = self.sim_f[f_]
+            wk32[i] = w32
+            coef[i] = (idf64 * b64) * _kp1_64(k1_)
+            k1_a[i], b_a[i] = k1_, b_
+            avg_a[i] = self.avgdl64_f[f_]
+            flds.append(f_)
+            ci_of[(f_, t)] = i
+        cache_f = self.cache_f
+        tie = float(q.tie_breaker)
+        tomb = self._tomb_by_seg()
+        k_ = int(k)
+
+        def fn(batches):
+            bufs = [p for p in batches if len(p)]
+            if not bufs:
+                return
+            all_ = pd.concat(bufs, ignore_index=True)
+            counts = all_["num_docs"].to_numpy(np.int64)
+            docs = batch_delta_decode(
+                batch_unpack(all_["docs_bin"].tolist(), counts), counts
+            ).astype(np.int64)
+            tfs = batch_unpack(all_["tfs_bin"].tolist(), counts)
+            ci_row = np.fromiter(
+                (ci_of[(f_, t)] for f_, t
+                 in zip(all_["field"], all_["term"])),
+                dtype=np.int64, count=len(all_))
+            ci_el = np.repeat(ci_row, counts)
+            seg_el = np.repeat(all_["seg"].to_numpy(np.int32), counts)
+            if lucene:
+                nbs = batch_unpack(all_["norms_bin"].tolist(), counts
+                                   ).astype(np.int64)
+                denom = np.empty(len(ci_el), dtype=np.float32)
+                for f_ in set(flds):
+                    mm = np.isin(ci_el, [i for i, ff in enumerate(flds)
+                                         if ff == f_])
+                    denom[mm] = cache_f[f_][nbs[mm]]
+                tff = tfs.astype(np.float32)
+                sc = ((wk32[ci_el] * tff) / (tff + denom)
+                      ).astype(np.float64)
+            else:
+                dls = batch_unpack(all_["dls_bin"].tolist(), counts
+                                   ).astype(np.float64)
+                tff = tfs.astype(np.float64)
+                den = tff + k1_a[ci_el] * (
+                    (1.0 - b_a[ci_el]) + b_a[ci_el] * dls / avg_a[ci_el])
+                sc = coef[ci_el] * tff / den
+            out_s, out_d, out_sc = [], [], []
+            for s in np.unique(seg_el):
+                sel = seg_el == s
+                d_s, v_s = docs[sel], sc[sel]
+                o = np.argsort(d_s, kind="stable")
+                d_s, v_s = d_s[o], v_s[o]
+                nb = np.empty(len(d_s), dtype=bool)
+                nb[0] = True
+                nb[1:] = d_s[1:] != d_s[:-1]
+                starts = np.flatnonzero(nb)
+                du = d_s[starts]
+                mx = np.maximum.reduceat(v_s, starts)
+                sm = np.add.reduceat(v_s, starts)
+                score = (mx + tie * (sm - mx)).astype(ftype)
+                tb = tomb.get(int(s))
+                if tb is not None and len(du):
+                    pos = np.searchsorted(tb, du)
+                    dead = (pos < len(tb)) & (
+                        tb[np.minimum(pos, len(tb) - 1)] == du)
+                    du, score = du[~dead], score[~dead]
+                if len(du) == 0:
+                    continue
+                top = np.lexsort((du, -score))[:k_]
+                out_s.append(np.full(len(top), s, dtype=np.int32))
+                out_d.append(du[top])
+                out_sc.append(score[top])
+            if not out_s:
+                return
+            yield pd.DataFrame({
+                "seg": np.concatenate(out_s),
+                "doc": np.concatenate(out_d),
+                "score": np.concatenate(out_sc),
+            })
+
+        by_field: dict[str, list[str]] = {}
+        for f_, t, _ in specs:
+            by_field.setdefault(f_, []).append(t)
+        cond = reduce(
+            lambda a, b: a | b,
+            [(F.col("field") == f_) & F.col("term").isin(ts)
+             for f_, ts in by_field.items()],
+        )
+        scan = self._postings.filter(cond).select(
+            "field", "term", "seg", "num_docs", "docs_bin", "tfs_bin",
+            "norms_bin", "dls_bin")
+        return scan.mapInPandas(
+            fn, f"seg int, doc long, score {self._score_t}")
 
     # ------------------------------------------------------------------
     # explain

@@ -212,3 +212,25 @@ def test_single_query_collector_routing(spark, idx, monkeypatch):
         got = _rows(routed.search(q, 10))
         monkeypatch.setenv("RUCENE_TERM_COLLECTOR", "0")
         assert got == _rows(frame.search(q, 10)), repr(q)
+
+
+def test_dismax_collector_routing(spark, idx, monkeypatch):
+    """Root dismax through the per-segment collector must be rank- and
+    score-identical to the exhaustive frame path, including boosted
+    disjuncts and tie_breaker values."""
+    cases = [
+        DisjunctionMaxQuery([TermQuery("text", "table"),
+                             TermQuery("text", "query")], 0.3),
+        DisjunctionMaxQuery([TermQuery("text", "table", boost=2.0),
+                             TermQuery("text", "scan"),
+                             TermQuery("text", "key")], 0.0),
+        DisjunctionMaxQuery([TermQuery("text", "table"),
+                             TermQuery("text", "tzzzzzz")], 1.0),
+    ]
+    monkeypatch.setenv("RUCENE_COLLECTOR_MIN_DOCS", "0")
+    for q in cases:
+        monkeypatch.setenv("RUCENE_TERM_COLLECTOR", "1")
+        routed = _rows(IndexSearcher(spark, idx).search(q, 10))
+        monkeypatch.setenv("RUCENE_TERM_COLLECTOR", "0")
+        frame = _rows(IndexSearcher(spark, idx).search(q, 10))
+        assert routed == frame, repr(q)
