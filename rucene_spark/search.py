@@ -87,6 +87,7 @@ from .query import (
     RangeQuery,
     TermQuery,
 )
+from .query import SpanQuery as _SpanQueryT
 
 K1 = np.float32(1.2)
 B = np.float32(0.75)
@@ -343,6 +344,207 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
     sv = np.concatenate(vs_parts)
     o = np.lexsort((dv, -sv))[:k]
     return dv[o], sv[o]
+
+
+def _span_count_bound(spec, tfm: dict):
+    """Per-doc upper bound on the NUMBER of spans a spec can emit, as a
+    numpy array over candidate docs (``tfm[ti]`` = the term's tf per
+    doc, 0 where absent). freq = Σ 1/(1+width) ≤ span count, and the
+    BM25 kernel is monotone in freq, so score(bound) is a true impact
+    bound. Counts per node (spans.py kernels): a term emits tf spans;
+    an or emits the union (Σ subs); an ordered near advances its FIRST
+    clause's pointer every iteration, so it emits ≤ that clause's count
+    (a gap is never first — ordered_near_spans raises); an unordered
+    near pops one heap cell per emission, so ≤ Σ sub counts."""
+    kind = spec[0]
+    if kind == "term":
+        return tfm[spec[1]]
+    if kind == "or":
+        return sum(_span_count_bound(s, tfm) for s in spec[1])
+    if kind == "near":
+        if spec[3]:
+            return _span_count_bound(spec[1][0], tfm)
+        return sum(_span_count_bound(s, tfm) for s in spec[1]
+                   if s[0] != "gap")
+    raise ValueError(f"unbounded span spec node: {spec!r}")
+
+
+def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
+                   cache, coef64, k1_, b_, avgdl64, fast2, ta2, tb2,
+                   slop2):
+    """Segment-local span top-k with impact-ordered verification — the
+    span analogue of :func:`_phrase_seg_topk`.
+
+    ``tds[ti]`` holds one term's postings for THIS segment. Candidates
+    are docs holding ≥1 term of EVERY required clause group (the same
+    bitmask conjunction the exhaustive frame runs JVM-side). The impact
+    bound is score(_span_count_bound), so docs are verified in
+    ub-descending chunks and verification stops once the k-th verified
+    score exceeds every remaining bound; pos_bin blocks no surviving
+    chunk doc lands in are never decoded. Verification is the shared
+    span kernel — vectorized for the 2-term ordered shape (``fast2``),
+    per-doc :func:`spans.span_freq` otherwise (candidate-capped
+    upstream by the caller, like the exhaustive path)."""
+    from .spans import ordered_near_freq_2term_batch, span_freq
+
+    doc_parts, ti_parts = [], []
+    for ti, td in tds.items():
+        doc_parts.append(td["docs"])
+        ti_parts.append(np.full(len(td["docs"]), ti, dtype=np.int64))
+    e_i = np.empty(0, dtype=np.int64)
+    if not doc_parts:
+        return e_i, np.empty(0, dtype=np.float64)
+    doc_el = np.concatenate(doc_parts)
+    ti_el = np.concatenate(ti_parts)
+    o = np.argsort(doc_el, kind="stable")
+    doc_el, ti_el = doc_el[o], ti_el[o]
+    nb_ = np.empty(len(doc_el), dtype=bool)
+    nb_[0] = True
+    nb_[1:] = doc_el[1:] != doc_el[:-1]
+    starts = np.flatnonzero(nb_)
+    docs_u = doc_el[starts]
+    keep = np.ones(len(docs_u), dtype=bool)
+    for g in group_tis:
+        gm = np.isin(ti_el, list(g)).astype(np.int64)
+        keep &= np.add.reduceat(gm, starts) > 0
+    conj = docs_u[keep]
+    if tomb is not None and conj.size:
+        p_ = np.searchsorted(tomb, conj)
+        dead = (p_ < len(tomb)) & (
+            tomb[np.minimum(p_, len(tomb) - 1)] == conj)
+        conj = conj[~dead]
+    if conj.size == 0:
+        return e_i, np.empty(0, dtype=np.float64)
+
+    n_cand = len(conj)
+    ent, present = {}, {}
+    # every ti the spec references gets a tf vector — terms with no
+    # postings in this segment contribute 0 to the bound
+    tfm: dict[int, np.ndarray] = {
+        ti: np.zeros(n_cand, dtype=np.int64)
+        for g in group_tis for ti in g
+    }
+    nbs_c = np.zeros(n_cand, dtype=np.int64)
+    dls_c = np.zeros(n_cand, dtype=np.int64)
+    filled = np.zeros(n_cand, dtype=bool)
+    for ti, td in tds.items():
+        p = np.searchsorted(td["docs"], conj)
+        pm = (p < len(td["docs"])) & (
+            td["docs"][np.minimum(p, len(td["docs"]) - 1)] == conj)
+        ent[ti], present[ti] = p, pm
+        tf_a = np.zeros(n_cand, dtype=np.int64)
+        tf_a[pm] = td["tfs"][p[pm]]
+        tfm[ti] = tf_a
+        m = pm & ~filled
+        if m.any():
+            nbs_c[m] = td["nbs"][p[m]]
+            dls_c[m] = td["dls"][p[m]]
+            filled |= pm
+    bound = _span_count_bound(spec, tfm)
+    if lucene:
+        bt = bound.astype(np.float32)
+        ub64 = ((wk32 * bt) / (bt + cache[nbs_c])).astype(np.float64)
+    else:
+        bt = bound.astype(np.float64)
+        ub64 = coef64 * bt / (
+            bt + k1_ * ((1.0 - b_)
+                        + b_ * dls_c.astype(np.float64) / avgdl64))
+    order = np.lexsort((conj, -ub64))
+
+    pos_cache: dict[tuple[int, int], tuple] = {}
+
+    def _gather_pos(ti, ent_chunk):
+        """flat positions + per-entry tf for ASCENDING entries of term
+        ti, decoding (and memoizing) only the blocks touched."""
+        td = tds[ti]
+        blk_ends = td["blk_ends"]
+        blk_starts = blk_ends - td["counts"]
+        bi = np.searchsorted(blk_ends, ent_chunk, side="right")
+        p_parts, t_parts = [], []
+        for bb in np.unique(bi):
+            m = bi == bb
+            lo, hi = int(blk_starts[bb]), int(blk_ends[bb])
+            got = pos_cache.get((ti, bb))
+            if got is None:
+                tf_b = td["tfs"][lo:hi]
+                flat, _ = batch_unpack_positions([td["pos_bins"][bb]],
+                                                 tf_b)
+                got = (flat, np.cumsum(tf_b) - tf_b)
+                pos_cache[(ti, bb)] = got
+            flat, eoff = got
+            e_rel = ent_chunk[m] - lo
+            tfe = td["tfs"][lo:hi][e_rel]
+            tot = int(tfe.sum())
+            idx = (np.repeat(eoff[e_rel], tfe) + np.arange(tot)
+                   - np.repeat(np.cumsum(tfe) - tfe, tfe))
+            p_parts.append(flat[idx])
+            t_parts.append(tfe)
+        return np.concatenate(p_parts), np.concatenate(t_parts)
+
+    vd_parts, vs_parts = [], []
+    n_hits = 0
+    theta = None
+    n = len(order)
+    i = 0
+    chunk = max(int(chunk0), 4 * k, 1)
+    while i < n:
+        if theta is not None and ub64[order[i]] < theta:
+            break
+        sel = order[i:min(n, i + chunk)]
+        so = np.argsort(conj[sel])
+        cidx = sel[so]
+        cd = conj[cidx]
+        nbs_k, dls_k = nbs_c[cidx], dls_c[cidx]
+        # per-term positions for this chunk: list-of-arrays aligned to cd
+        chunk_pos: dict[int, list] = {}
+        for ti in tds:
+            pm = present[ti][cidx]
+            lst: list = [None] * len(cd)
+            if pm.any():
+                flat, tfe = _gather_pos(ti, ent[ti][cidx][pm])
+                ends = np.cumsum(tfe)
+                where = np.flatnonzero(pm)
+                for j, w in enumerate(where):
+                    lst[w] = flat[ends[j] - tfe[j]:ends[j]]
+            chunk_pos[ti] = lst
+        if fast2:
+            freqs = ordered_near_freq_2term_batch(
+                chunk_pos[ta2], chunk_pos[tb2], slop2
+            ).astype(np.float64)
+        else:
+            freqs = np.zeros(len(cd), dtype=np.float64)
+            for r in range(len(cd)):
+                pos_map = {ti: lst[r] for ti, lst in chunk_pos.items()
+                           if lst[r] is not None}
+                freqs[r] = float(span_freq(spec, pos_map))
+        hit = freqs > 0
+        if hit.any():
+            fr = freqs[hit]
+            if lucene:
+                tff = fr.astype(np.float32)
+                sc = ((wk32 * tff) / (tff + cache[nbs_k[hit]])
+                      ).astype(np.float64)
+            else:
+                denom = fr + k1_ * (
+                    (1.0 - b_)
+                    + b_ * dls_k[hit].astype(np.float64) / avgdl64)
+                sc = coef64 * fr / denom
+            vd_parts.append(cd[hit])
+            vs_parts.append(sc)
+            n_hits += int(hit.sum())
+            if n_hits >= k:
+                allsc = np.concatenate(vs_parts)
+                theta = float(
+                    np.partition(allsc, len(allsc) - k)[len(allsc) - k])
+        i += len(sel)
+        chunk *= 4
+
+    if not vd_parts:
+        return e_i, np.empty(0, dtype=np.float64)
+    dv = np.concatenate(vd_parts)
+    sv = np.concatenate(vs_parts)
+    o2 = np.lexsort((dv, -sv))[:k]
+    return dv[o2], sv[o2]
 
 
 _SCORE_SCHEMA = "seg int, doc long, score float"
@@ -617,6 +819,13 @@ class IndexSearcher:
             # root dismax over unique term disjuncts: per-segment
             # collector (max + tie fold in-worker, ≤k rows per segment)
             frame = self._dismax_collector_topk(q0, b0, k)
+        elif (isinstance(q0, _SpanQueryT)
+              and os.environ.get("RUCENE_SPAN_COLLECTOR", "1") != "0"
+              and (self._deleted is None or self._bcast_deleted)
+              and self._segs_single_file()):
+            # root span query: per-segment collector with span-count
+            # impact bounds (conjunction + verify + top-k in-worker)
+            frame = self._span_collector_topk(q0, b0, k)
         else:
             fs = None
             # Cost-based routing (the reference picks scorers by cost the
@@ -2788,6 +2997,134 @@ class IndexSearcher:
 
         scan = self._postings.filter(
             (F.col("field") == q.field) & F.col("term").isin(uniq_terms)
+        ).select("term", "seg", "block_id", "num_docs", "docs_bin",
+                 "tfs_bin", "norms_bin", "dls_bin", "pos_bin")
+        return scan.mapInPandas(
+            fn, f"seg int, doc long, score {self._score_t}")
+
+    def _span_collector_topk(self, q, boost: np.float32,
+                             k: int) -> DataFrame:
+        """Zero-shuffle span top-k — the per-segment collector kernel
+        extended to the span family (_span_seg_topk). The exhaustive
+        _span_frame shuffles one positions row per (candidate doc, term)
+        into a corpus-sized (seg, doc) groupBy before verifying; here
+        conjunction, the span-count impact bound, ub-ordered
+        verification, tombstone masking and the per-segment top-k all
+        run in numpy inside the scan stage — only ≤k rows per segment
+        leave the executors, and pos_bin blocks no surviving candidate
+        lands in are never decoded. Used only for ROOT span queries
+        (search()), where per-segment top-k is sound. Scores are
+        identical to _span_frame (same float32 span-freq kernels,
+        tests/test_spans.py cross-route assertions)."""
+        from .query import (
+            SpanBoostQuery,
+            SpanGapQuery,
+            SpanNearQuery,
+            span_spec,
+            span_terms,
+        )
+
+        while isinstance(q, SpanBoostQuery):
+            boost = np.float32(boost * np.float32(q.boost))
+            q = q.query
+        field = q.field
+        self._check_field(field)
+        self._check_positions(field)
+        terms = span_terms(q)
+        uniq_terms = sorted(set(terms))
+        ti_of = {t: i for i, t in enumerate(uniq_terms)}
+        spec = span_spec(q, ti_of)
+        stats = self._stats_for([(field, t) for t in uniq_terms])
+
+        idf_total = np.float32(0.0)
+        idf64_total = 0.0
+        for t in terms:
+            row = stats.get((field, t))
+            df_ = int(row["df"]) if row else 0
+            idf_total = np.float32(idf_total + idf32(df_, self.doc_count))
+            idf64_total += float(np.log(
+                1.0 + (self.doc_count - df_ + 0.5) / (df_ + 0.5)))
+        k1_, b_ = self.sim_f[field]
+        weight32 = np.float32(idf_total * boost)
+        wk32 = np.float32(weight32 * (np.float32(k1_) + np.float32(1.0)))
+        coef64 = (idf64_total * float(boost)) * _kp1_64(k1_)
+
+        if isinstance(q, SpanNearQuery):
+            groups = [span_terms(c) for c in q.clauses
+                      if not isinstance(c, SpanGapQuery)]
+        else:
+            groups = [terms]
+        group_tis = [sorted({ti_of[t] for t in g}) for g in groups]
+        fast2 = (spec[0] == "near" and bool(spec[3]) and len(spec[1]) == 2
+                 and all(s[0] == "term" for s in spec[1])
+                 and os.environ.get("RUCENE_SPAN_BATCH", "1") != "0")
+        if not fast2:
+            def _df(t: str) -> int:
+                row = stats.get((field, t))
+                return int(row["df"]) if row else 0
+            bound = min((sum(_df(t) for t in g) for g in groups),
+                        default=0)
+            self._check_verify_cap(
+                bound, f"span query over {sorted(set(terms))!r}")
+        ta2 = spec[1][0][1] if fast2 else -1
+        tb2 = spec[1][1][1] if fast2 else -1
+        slop2 = spec[2] if fast2 else 0
+
+        cache = self.cache_f[field]
+        avgdl64 = self.avgdl64_f[field]
+        lucene = self.scoring == "lucene"
+        tomb = self._tomb_by_seg()
+        k_ = int(k)
+        chunk0 = int(os.environ.get("RUCENE_PHRASE_CHUNK", "4096"))
+        ti_map = ti_of
+
+        def fn(batches):
+            bufs = [p for p in batches if len(p)]
+            if not bufs:
+                return
+            all_ = pd.concat(bufs, ignore_index=True)
+            seg_a = all_["seg"].to_numpy(np.int32)
+            out_s, out_d, out_sc = [], [], []
+            for s in np.unique(seg_a):
+                sub = all_[seg_a == s]
+                tds = {}
+                for t, grp in sub.groupby("term", sort=False):
+                    grp = grp.sort_values("block_id")
+                    counts = grp["num_docs"].to_numpy(np.int64)
+                    tds[ti_map[t]] = {
+                        "docs": batch_delta_decode(
+                            batch_unpack(grp["docs_bin"].tolist(),
+                                         counts), counts
+                        ).astype(np.int64),
+                        "tfs": batch_unpack(grp["tfs_bin"].tolist(),
+                                            counts).astype(np.int64),
+                        "nbs": batch_unpack(grp["norms_bin"].tolist(),
+                                            counts).astype(np.int64),
+                        "dls": batch_unpack(grp["dls_bin"].tolist(),
+                                            counts).astype(np.int64),
+                        "counts": counts,
+                        "blk_ends": np.cumsum(counts),
+                        "pos_bins": grp["pos_bin"].tolist(),
+                    }
+                dv, sv = _span_seg_topk(
+                    tds, spec, group_tis, tomb.get(int(s)), k_, chunk0,
+                    lucene, wk32, cache, coef64, k1_, b_, avgdl64,
+                    fast2, ta2, tb2, slop2)
+                if len(dv) == 0:
+                    continue
+                out_s.append(np.full(len(dv), s, dtype=np.int32))
+                out_d.append(dv)
+                out_sc.append(sv)
+            if not out_s:
+                return
+            yield pd.DataFrame({
+                "seg": np.concatenate(out_s),
+                "doc": np.concatenate(out_d),
+                "score": np.concatenate(out_sc),
+            })
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq_terms)
         ).select("term", "seg", "block_id", "num_docs", "docs_bin",
                  "tfs_bin", "norms_bin", "dls_bin", "pos_bin")
         return scan.mapInPandas(

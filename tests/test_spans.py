@@ -206,3 +206,59 @@ def test_ordered_2term_span_exempt_from_cap(spark):
             s.search(qu, 10)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_span_collector_matches_frame_and_deletes(spark, corpus, built,
+                                                  tmp_path, monkeypatch):
+    """The per-segment span collector (default route for root span
+    queries) must match the exhaustive frame path bit-for-bit on every
+    shape, and deleted docs must neither inflate its impact-ordering θ
+    nor appear in results."""
+    from rucene_spark.merge import delete_by_keys
+    from rucene_spark.query import SpanBoostQuery
+
+    dfs = term_df_spectrum(corpus)
+    plain = [t for t in dfs.index if t.startswith("t0")]
+    hi, hi2 = plain[0], plain[1]
+    mid = plain[len(plain) // 3]
+    T = SpanTermQuery
+    queries = [
+        SpanNearQuery([T("text", hi), T("text", mid)], slop=4,
+                      in_order=True),
+        SpanNearQuery([T("text", hi), T("text", mid)], slop=4,
+                      in_order=False),
+        SpanBoostQuery(
+            SpanNearQuery([T("text", hi), T("text", mid)], slop=8,
+                          in_order=True), 2.5),
+        SpanOrQuery([T("text", hi), T("text", mid)]),
+        SpanNearQuery(
+            [SpanOrQuery([T("text", hi), T("text", hi2)]),
+             T("text", mid)], slop=5, in_order=False),
+    ]
+    s = IndexSearcher(spark, built)
+    for q in queries:
+        monkeypatch.setenv("RUCENE_SPAN_COLLECTOR", "1")
+        kern = [(r["url"], np.float32(r["score"]).view(np.int32).item())
+                for r in s.search(q, 10).collect()]
+        monkeypatch.setenv("RUCENE_SPAN_COLLECTOR", "0")
+        frame = [(r["url"], np.float32(r["score"]).view(np.int32).item())
+                 for r in s.search(q, 10).collect()]
+        assert kern == frame, str(q)
+        monkeypatch.delenv("RUCENE_SPAN_COLLECTOR")
+
+    # deletes: kill the current top-3, re-search through the collector
+    d = str(tmp_path / "span_tomb")
+    IndexWriter(spark, d, n_segments=3, key_col="url").build(
+        spark.createDataFrame(corpus.drop(columns=["html"])))
+    q = SpanNearQuery([T("text", hi), T("text", mid)], slop=4,
+                      in_order=True)
+    s0 = IndexSearcher(spark, d)
+    top = s0.search(q, 3).collect()
+    delete_by_keys(d, [r["url"] for r in top])
+    s1 = IndexSearcher(spark, d)
+    kern = s1.search(q, 10).collect()
+    assert not {r["url"] for r in top} & {r["url"] for r in kern}
+    monkeypatch.setenv("RUCENE_SPAN_COLLECTOR", "0")
+    frame = IndexSearcher(spark, d).search(q, 10).collect()
+    assert [(r["url"], r["score"]) for r in kern] == [
+        (r["url"], r["score"]) for r in frame]
