@@ -191,7 +191,7 @@ def _collector_seg_reduce(doc, qid, gid, role, sc, g_role, g_nm, g_nf,
 
 
 def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
-                     cache, coef64, k1_, b_, avgdl64):
+                     cache, coef64, k1_, b_, avgdl64, slop=0, terms=None):
     """Segment-local exact-phrase top-k with impact-ordered verification.
 
     ``tds[ti]`` holds one unique term's postings for THIS segment:
@@ -232,18 +232,30 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
         return np.empty(0, dtype=np.int64), e64
 
     ent = {ti: np.searchsorted(tds[ti]["docs"], conj) for ti in uniq_tis}
-    min_tf = tds[uniq_tis[0]]["tfs"][ent[uniq_tis[0]]]
-    for ti in uniq_tis[1:]:
-        min_tf = np.minimum(min_tf, tds[ti]["tfs"][ent[ti]])
+    if slop == 0:
+        # exact: every occurrence consumes one position of every slot
+        bound = tds[uniq_tis[0]]["tfs"][ent[uniq_tis[0]]]
+        for ti in uniq_tis[1:]:
+            bound = np.minimum(bound, tds[ti]["tfs"][ent[ti]])
+    else:
+        # sloppy: every _SloppyFreq loop iteration consumes one
+        # next_position() of some slot and emits ≤1 match (+1 final
+        # emit), so matches ≤ Σ_slots tf − n_slots + 1; each match
+        # contributes ≤1 to freq (1/(1+len), len ≥ 0)
+        bound = None
+        for ti, _off in slots:
+            tf_s = tds[ti]["tfs"][ent[ti]]
+            bound = tf_s.copy() if bound is None else bound + tf_s
+        bound = bound - len(slots) + 1
     t0 = uniq_tis[0]
     nbs_c = tds[t0]["nbs"][ent[t0]]
     dls_c = tds[t0]["dls"][ent[t0]]
     if lucene:
-        mt = min_tf.astype(np.float32)
+        mt = bound.astype(np.float32)
         ub = (wk32 * mt) / (mt + cache[nbs_c])
         ub64 = ub.astype(np.float64)
     else:
-        mt = min_tf.astype(np.float64)
+        mt = bound.astype(np.float64)
         ub64 = coef64 * mt / (
             mt + k1_ * ((1.0 - b_) + b_ * dls_c.astype(np.float64) / avgdl64))
     order = np.lexsort((conj, -ub64))
@@ -259,7 +271,7 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
         blk_ends = td["blk_ends"]
         blk_starts = blk_ends - td["counts"]
         bi = np.searchsorted(blk_ends, ent_chunk, side="right")
-        d_parts, p_parts = [], []
+        d_parts, p_parts, t_parts = [], [], []
         for b in np.unique(bi):
             m = bi == b
             lo, hi = int(blk_starts[b]), int(blk_ends[b])
@@ -277,7 +289,9 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
                    - np.repeat(np.cumsum(tfe) - tfe, tfe))
             p_parts.append(flat[idx])
             d_parts.append(np.repeat(docs_chunk[m], tfe))
-        return np.concatenate(d_parts), np.concatenate(p_parts)
+            t_parts.append(tfe)
+        return (np.concatenate(d_parts), np.concatenate(p_parts),
+                np.concatenate(t_parts))
 
     vd_parts, vs_parts = [], []
     n_hits = 0
@@ -294,30 +308,57 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
         nbs_k = nbs_c[sel][so]
         dls_k = dls_c[sel][so]
 
-        acc = None
-        maxpos = 0
-        slot_keys = []
         gathered = {}
         for ti, off in slots:
-            g = gathered.get(ti)
-            if g is None:
-                g = gathered[ti] = _gather(ti, ent[ti][sel][so], cd)
-            maxpos = max(maxpos, int(g[1].max(initial=0)))
-            slot_keys.append((g, off))
-        # key on the doc's RANK within the chunk (not the global doc id)
-        # so rank << bits can never overflow int64
-        bits = int(maxpos + offpad + 2).bit_length()
-        for (dr, pr), off in slot_keys:
-            keys = (np.searchsorted(cd, dr) << np.int64(bits)) + (
-                pr - off + offpad)
-            acc = keys if acc is None else np.intersect1d(
-                acc, keys, assume_unique=True)
-            if acc.size == 0:
-                break
-        freq = np.zeros(len(cd), dtype=np.int64)
-        if acc is not None and acc.size:
-            hr, hc = np.unique(acc >> np.int64(bits), return_counts=True)
-            freq[hr] = hc
+            if ti not in gathered:
+                gathered[ti] = _gather(ti, ent[ti][sel][so], cd)
+        if slop == 0:
+            acc = None
+            maxpos = 0
+            slot_keys = []
+            for ti, off in slots:
+                g = gathered[ti]
+                maxpos = max(maxpos, int(g[1].max(initial=0)))
+                slot_keys.append((g, off))
+            # key on the doc's RANK within the chunk (not the global doc
+            # id) so rank << bits can never overflow int64
+            bits = int(maxpos + offpad + 2).bit_length()
+            for (dr, pr, _tfe), off in slot_keys:
+                keys = (np.searchsorted(cd, dr) << np.int64(bits)) + (
+                    pr - off + offpad)
+                acc = keys if acc is None else np.intersect1d(
+                    acc, keys, assume_unique=True)
+                if acc.size == 0:
+                    break
+            freq = np.zeros(len(cd), dtype=np.float64)
+            if acc is not None and acc.size:
+                hr, hc = np.unique(acc >> np.int64(bits),
+                                   return_counts=True)
+                freq[hr] = hc
+        else:
+            # sloppy verify on the chunk: per-doc position slices from
+            # the gathered flat arrays (every chunk doc holds every
+            # term), then the shared phrase kernels — batch-vectorized
+            # for two distinct terms, per-doc heap walk otherwise
+            # (candidate-capped upstream by the caller like the
+            # exhaustive path)
+            slices = {}
+            for ti, g in gathered.items():
+                _dr, pr, tfe = g
+                ends = np.cumsum(tfe)
+                slices[ti] = [pr[ends[j] - tfe[j]:ends[j]]
+                              for j in range(len(cd))]
+            two_term = (len(slots) == 2 and slots[0][0] != slots[1][0])
+            if two_term:
+                freq = sloppy_phrase_freq_2term_batch(
+                    slices[slots[0][0]], slices[slots[1][0]],
+                    offsets[0], offsets[1], slop).astype(np.float64)
+            else:
+                freq = np.zeros(len(cd), dtype=np.float64)
+                for r in range(len(cd)):
+                    pls = [slices[ti][r] for ti, _ in slots]
+                    freq[r] = float(sloppy_phrase_freq(
+                        pls, offsets, terms, slop))
         hit = freq > 0
         if hit.any():
             fr = freq[hit].astype(np.float64)
@@ -798,12 +839,12 @@ class IndexSearcher:
         if hit is not None:
             return hit
         q0, b0 = self._fold_boost(query, np.float32(1.0))
-        if (isinstance(q0, PhraseQuery) and q0.slop == 0
+        if (isinstance(q0, PhraseQuery)
                 and (self._deleted is None or self._bcast_deleted)
                 and os.environ.get("RUCENE_PHRASE_COLLECTOR", "1") != "0"
                 and self._segs_single_file()):
-            # root exact phrase: per-segment impact-pruned collector —
-            # already live-masked and per-seg top-k'd in the worker
+            # root phrase (exact or sloppy): per-segment impact-pruned
+            # collector — live-masked and per-seg top-k'd in the worker
             frame = self._phrase_collector_topk(q0, b0, k)
         elif (isinstance(q0, DisjunctionMaxQuery)
               and os.environ.get("RUCENE_TERM_COLLECTOR", "1") != "0"
@@ -1107,13 +1148,13 @@ class IndexSearcher:
                 .filter(F.col("_rn") <= k).drop("_rn"))
         for i in others:
             qi, bi = self._fold_boost(queries[i], np.float32(1.0))
-            if (isinstance(qi, PhraseQuery) and qi.slop == 0
+            if (isinstance(qi, PhraseQuery)
                     and (self._deleted is None or self._bcast_deleted)
                     and os.environ.get(
                         "RUCENE_PHRASE_COLLECTOR", "1") != "0"
                     and self._segs_single_file()):
-                # exact phrases ride the zero-shuffle per-segment
-                # collector (already live-masked + per-seg top-k'd)
+                # phrases ride the zero-shuffle per-segment collector
+                # (already live-masked + per-seg top-k'd)
                 frame = self._phrase_collector_topk(qi, bi, k)
             else:
                 frame = self._live(self._frame(
@@ -2915,12 +2956,26 @@ class IndexSearcher:
         Used only where per-seg top-k is sound: a ROOT exact phrase going
         straight to the collector (search()), never as a boolean clause.
         Scores are bit-identical to _phrase_frame (same float32 kernel,
-        same freq) — asserted by tests/test_phrase_collector.py."""
+        same freq) — asserted by tests/test_phrase_collector.py.
+
+        Sloppy phrases (slop > 0) ride the same kernel with the bound
+        Σ_slots tf − n_slots + 1 (every _SloppyFreq iteration consumes
+        one position advance and emits ≤1 match of weight ≤1) and the
+        shared sloppy verify — batch-vectorized for two distinct terms,
+        per-doc heap walk behind the same candidate cap as the
+        exhaustive path otherwise."""
         self._check_field(q.field)
         self._check_positions(q.field)
         stats = self._stats_for([(q.field, t) for t in set(q.terms)])
         if any((q.field, t) not in stats for t in q.terms):
             return self.spark.createDataFrame([], self._score_schema)
+        if q.slop > 0 and not (len(q.terms) == 2
+                               and q.terms[0] != q.terms[1]):
+            # non-vectorizable sloppy shapes verify per-doc in Python:
+            # same candidate cap as the exhaustive path
+            self._check_verify_cap(
+                min(int(stats[(q.field, t)]["df"]) for t in q.terms),
+                f"sloppy phrase {q.terms!r}~{q.slop}")
         idf_total = np.float32(0.0)
         idf64_total = 0.0
         for t in q.terms:
@@ -2937,6 +2992,8 @@ class IndexSearcher:
         ti_of = {t: i for i, t in enumerate(uniq_terms)}
         slots = [(ti_of[t], int(o)) for t, o in zip(q.terms, q.positions)]
         offsets = [int(o) for o in q.positions]
+        slop_ = int(q.slop)
+        terms_ = list(q.terms)
         n_uniq = len(uniq_terms)
         cache = self.cache_f[q.field]
         avgdl64 = self.avgdl64_f[q.field]
@@ -2981,7 +3038,8 @@ class IndexSearcher:
                     continue
                 dv, sv = _phrase_seg_topk(
                     tds, slots, offsets, tomb.get(int(s)), k_, chunk0,
-                    lucene, wk32, cache, coef64, k1_, b_, avgdl64)
+                    lucene, wk32, cache, coef64, k1_, b_, avgdl64,
+                    slop=slop_, terms=terms_)
                 if len(dv) == 0:
                     continue
                 out_s.append(np.full(len(dv), s, dtype=np.int32))

@@ -251,3 +251,51 @@ def test_phrase_collector_post_merge(spark, index_dir, corpus, tmp_path):
         assert [(r.seg, r.doc, r.score) for r in got] == [
             (r.seg, r.doc, r.score) for r in want]
         assert got, f"phrase {terms} must still match post-merge"
+
+
+@pytest.mark.parametrize("scoring", ["lucene", "precise"])
+def test_sloppy_collector_equals_exhaustive(spark, corpus, index_dir,
+                                            scoring):
+    """Sloppy phrases (slop > 0) through the per-segment collector —
+    2-term vectorized walk AND the per-doc heap walk (3 terms / repeated
+    term) — must be rank- and score-identical to the exhaustive path."""
+    s = IndexSearcher(spark, index_dir, scoring=scoring)
+    phrases = _phrases(corpus)
+    cases = [
+        (phrases[0], 2),                  # common pair, 2-term batch walk
+        (phrases[1], 4),                  # mid-df pair
+        (phrases[3], 3),                  # trigram → per-doc heap walk
+        (phrases[4], 2),                  # repeated term, per-doc walk
+        (list(reversed(phrases[0])), 6),  # reversed order, wide slop
+    ]
+    for terms, slop in cases:
+        for k in (3, 10):
+            got, want = _both_paths(
+                s, PhraseQuery.build("text", terms, slop=slop), k)
+            assert [(r.seg, r.doc) for r in got] == [
+                (r.seg, r.doc) for r in want], (terms, slop, k, scoring)
+            assert [r.score for r in got] == [
+                r.score for r in want], (terms, slop, k, scoring)
+
+
+def test_sloppy_collector_masks_tombstones(spark, corpus, index_dir,
+                                           tmp_path):
+    """Deleted docs must not inflate the sloppy collector's θ or appear
+    in its results."""
+    import shutil
+
+    from rucene_spark.merge import delete_by_keys
+
+    d = str(tmp_path / "sloppy_tomb")
+    shutil.copytree(index_dir, d)
+    terms = _phrases(corpus)[0]
+    q = PhraseQuery.build("text", terms, slop=3)
+    top = IndexSearcher(spark, d).search(q, 3).collect()
+    assert top
+    delete_by_keys(d, [r["url"] for r in top])
+    s = IndexSearcher(spark, d)
+    got, want = _both_paths(s, q, 10)
+    gone = {(r.seg, r.doc) for r in top}
+    assert not gone & {(r.seg, r.doc) for r in got}
+    assert [(r.seg, r.doc, r.score) for r in got] == [
+        (r.seg, r.doc, r.score) for r in want]
