@@ -1156,6 +1156,26 @@ class IndexSearcher:
                 # phrases ride the zero-shuffle per-segment collector
                 # (already live-masked + per-seg top-k'd)
                 frame = self._phrase_collector_topk(qi, bi, k)
+            elif (isinstance(qi, _SpanQueryT)
+                    and (self._deleted is None or self._bcast_deleted)
+                    and os.environ.get(
+                        "RUCENE_SPAN_COLLECTOR", "1") != "0"
+                    and self._segs_single_file()):
+                frame = self._span_collector_topk(qi, bi, k)
+            elif (isinstance(qi, DisjunctionMaxQuery)
+                    and (self._deleted is None or self._bcast_deleted)
+                    and os.environ.get(
+                        "RUCENE_TERM_COLLECTOR", "1") != "0"
+                    and self.doc_count >= int(os.environ.get(
+                        "RUCENE_COLLECTOR_MIN_DOCS", "100000"))
+                    and self._segs_single_file()
+                    and all(isinstance(self._fold_boost(d, bi)[0],
+                                       TermQuery) for d in qi.disjuncts)
+                    and len({(self._fold_boost(d, bi)[0].field,
+                              self._fold_boost(d, bi)[0].term)
+                             for d in qi.disjuncts})
+                    == len(qi.disjuncts)):
+                frame = self._dismax_collector_topk(qi, bi, k)
             else:
                 frame = self._live(self._frame(
                     queries[i], np.float32(1.0), needs_scores=True))
