@@ -237,10 +237,15 @@ def test_span_collector_matches_frame_and_deletes(spark, corpus, built,
     ]
     s = IndexSearcher(spark, built)
     for q in queries:
+        # clear the plan cache around each env flip — search() memoizes
+        # per (query, k), which would otherwise return the first route's
+        # cached plan for the second call
         monkeypatch.setenv("RUCENE_SPAN_COLLECTOR", "1")
+        s._plan_cache.clear()
         kern = [(r["url"], np.float32(r["score"]).view(np.int32).item())
                 for r in s.search(q, 10).collect()]
         monkeypatch.setenv("RUCENE_SPAN_COLLECTOR", "0")
+        s._plan_cache.clear()
         frame = [(r["url"], np.float32(r["score"]).view(np.int32).item())
                  for r in s.search(q, 10).collect()]
         assert kern == frame, str(q)
