@@ -588,6 +588,32 @@ def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
     return dv[o2], sv[o2]
 
 
+def _decode_seg_tds(sub: "pd.DataFrame", ti_of: dict) -> dict:
+    """One segment's positional postings rows → per-term decode dict for
+    the phrase/span collector kernels: sorted docs, aligned
+    tfs/nbs/dls, per-block counts/ends and the still-encoded pos_bin
+    blobs (decoded lazily by the kernels' block gathers)."""
+    tds = {}
+    for t, grp in sub.groupby("term", sort=False):
+        grp = grp.sort_values("block_id")
+        counts = grp["num_docs"].to_numpy(np.int64)
+        tds[ti_of[t]] = {
+            "docs": batch_delta_decode(
+                batch_unpack(grp["docs_bin"].tolist(), counts), counts
+            ).astype(np.int64),
+            "tfs": batch_unpack(grp["tfs_bin"].tolist(),
+                                counts).astype(np.int64),
+            "nbs": batch_unpack(grp["norms_bin"].tolist(),
+                                counts).astype(np.int64),
+            "dls": batch_unpack(grp["dls_bin"].tolist(),
+                                counts).astype(np.int64),
+            "counts": counts,
+            "blk_ends": np.cumsum(counts),
+            "pos_bins": grp["pos_bin"].tolist(),
+        }
+    return tds
+
+
 _SCORE_SCHEMA = "seg int, doc long, score float"
 _SCORE_SCHEMA64 = "seg int, doc long, score double"
 _ROLE_CODE = {"m": 0, "s": 1, "f": 2, "n": 3}  # boolean clause roles
@@ -3035,25 +3061,7 @@ class IndexSearcher:
             out_s, out_d, out_sc = [], [], []
             for s in np.unique(seg_a):
                 sub = all_[seg_a == s]
-                tds = {}
-                for t, grp in sub.groupby("term", sort=False):
-                    grp = grp.sort_values("block_id")
-                    counts = grp["num_docs"].to_numpy(np.int64)
-                    docs = batch_delta_decode(
-                        batch_unpack(grp["docs_bin"].tolist(), counts),
-                        counts).astype(np.int64)
-                    tds[term_ti[t]] = {
-                        "docs": docs,
-                        "tfs": batch_unpack(grp["tfs_bin"].tolist(),
-                                            counts).astype(np.int64),
-                        "nbs": batch_unpack(grp["norms_bin"].tolist(),
-                                            counts).astype(np.int64),
-                        "dls": batch_unpack(grp["dls_bin"].tolist(),
-                                            counts).astype(np.int64),
-                        "counts": counts,
-                        "blk_ends": np.cumsum(counts),
-                        "pos_bins": grp["pos_bin"].tolist(),
-                    }
+                tds = _decode_seg_tds(sub, term_ti)
                 if len(tds) < n_uniq:
                     continue
                 dv, sv = _phrase_seg_topk(
@@ -3165,25 +3173,7 @@ class IndexSearcher:
             out_s, out_d, out_sc = [], [], []
             for s in np.unique(seg_a):
                 sub = all_[seg_a == s]
-                tds = {}
-                for t, grp in sub.groupby("term", sort=False):
-                    grp = grp.sort_values("block_id")
-                    counts = grp["num_docs"].to_numpy(np.int64)
-                    tds[ti_map[t]] = {
-                        "docs": batch_delta_decode(
-                            batch_unpack(grp["docs_bin"].tolist(),
-                                         counts), counts
-                        ).astype(np.int64),
-                        "tfs": batch_unpack(grp["tfs_bin"].tolist(),
-                                            counts).astype(np.int64),
-                        "nbs": batch_unpack(grp["norms_bin"].tolist(),
-                                            counts).astype(np.int64),
-                        "dls": batch_unpack(grp["dls_bin"].tolist(),
-                                            counts).astype(np.int64),
-                        "counts": counts,
-                        "blk_ends": np.cumsum(counts),
-                        "pos_bins": grp["pos_bin"].tolist(),
-                    }
+                tds = _decode_seg_tds(sub, ti_map)
                 dv, sv = _span_seg_topk(
                     tds, spec, group_tis, tomb.get(int(s)), k_, chunk0,
                     lucene, wk32, cache, coef64, k1_, b_, avgdl64,
