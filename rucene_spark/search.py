@@ -758,6 +758,26 @@ class IndexSearcher:
         self._tomb_cache: dict[int, np.ndarray] | None = None
         self._single_file: bool | None = None
 
+    def _coalesced(self, scan: DataFrame) -> DataFrame:
+        """Pack multiple segment files into one scan task when segments
+        far outnumber cores. The collector kernels reduce per SEGMENT
+        inside the worker (np.unique(seg) loop), so their only layout
+        invariant is that a segment's rows stay wholly inside one
+        partition — coalesce() unions WHOLE input partitions with no
+        shuffle and no file splits, preserving it. Without this, a
+        229-segment index pays 229 task setups per query (~8 waves on
+        32 cores) even though the term-pruned data per task is tiny —
+        the 10M-doc profile showed every query family converging to
+        this per-segment fixed cost (BENCH_10M.json). 2× parallelism
+        keeps all cores busy under skewed segment sizes."""
+        if os.environ.get("RUCENE_COALESCE", "1") == "0":
+            return scan
+        n_segs = len(self.manifest["segments"])
+        target = 2 * self.spark.sparkContext.defaultParallelism
+        if n_segs > target:
+            return scan.coalesce(target)
+        return scan
+
     def _segs_single_file(self) -> bool:
         """True iff every committed postings segment dir holds exactly ONE
         parquet file — the invariant the per-segment collector kernels
@@ -1447,7 +1467,7 @@ class IndexSearcher:
         scan = self._postings.filter(cond).select(
             "field", "term", "seg", "num_docs", "docs_bin", "tfs_bin",
             "norms_bin", "dls_bin")
-        return scan.mapInPandas(
+        return self._coalesced(scan).mapInPandas(
             fn, f"_q int, seg int, doc long, score {self._score_t}")
 
     def search_with_timeout(self, query: Query, k: int = 10,
@@ -2061,7 +2081,7 @@ class IndexSearcher:
         ).select("term", "seg", "num_docs", "docs_bin", "tfs_bin",
                  "norms_bin", "dls_bin", "max_tf", "max_norm_byte",
                  "min_dl", "first_doc", "last_doc")
-        frame = scan.mapInPandas(
+        frame = self._coalesced(scan).mapInPandas(
             fn, f"seg int, doc long, score {self._score_t}")
         topk = frame.orderBy(F.desc("score"), "seg", "doc").limit(k)
         return (
@@ -2191,7 +2211,7 @@ class IndexSearcher:
         scan = self._postings.filter(cond).select(
             "field", "term", "seg", "num_docs", "docs_bin", "tfs_bin",
             "norms_bin", "dls_bin")
-        return scan.mapInPandas(
+        return self._coalesced(scan).mapInPandas(
             fn, f"seg int, doc long, score {self._score_t}")
 
     # ------------------------------------------------------------------
@@ -3085,7 +3105,7 @@ class IndexSearcher:
             (F.col("field") == q.field) & F.col("term").isin(uniq_terms)
         ).select("term", "seg", "block_id", "num_docs", "docs_bin",
                  "tfs_bin", "norms_bin", "dls_bin", "pos_bin")
-        return scan.mapInPandas(
+        return self._coalesced(scan).mapInPandas(
             fn, f"seg int, doc long, score {self._score_t}")
 
     def _span_collector_topk(self, q, boost: np.float32,
@@ -3195,7 +3215,7 @@ class IndexSearcher:
             (F.col("field") == field) & F.col("term").isin(uniq_terms)
         ).select("term", "seg", "block_id", "num_docs", "docs_bin",
                  "tfs_bin", "norms_bin", "dls_bin", "pos_bin")
-        return scan.mapInPandas(
+        return self._coalesced(scan).mapInPandas(
             fn, f"seg int, doc long, score {self._score_t}")
 
     def _phrase_frame(self, q: PhraseQuery, boost: np.float32, stats: dict) -> DataFrame:
