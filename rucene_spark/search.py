@@ -588,6 +588,40 @@ def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
     return dv[o2], sv[o2]
 
 
+def _iter_seg_chunks(batches):
+    """Stream a collector partition's Arrow batches as one pandas frame
+    per SEGMENT, without ever buffering the whole partition.
+
+    A partition is a sequence of whole segment files (the searcher
+    forbids file splits; _coalesced only unions whole partitions), each
+    read in file order — so a segment's rows form one contiguous run in
+    the batch stream. Buffering only until the seg value changes bounds
+    worker memory at one segment's scan rows + one Arrow batch,
+    independent of how many segments _coalesced packs into the task
+    (a stopword-phrase scan over a many-segment partition would
+    otherwise hold every packed segment's positions at once)."""
+    buf: list = []
+    cur = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        segs = pdf["seg"].to_numpy(np.int32)
+        bounds = np.flatnonzero(segs[1:] != segs[:-1]) + 1
+        start = 0
+        for c in list(bounds) + [len(pdf)]:
+            s = int(segs[start])
+            if cur is not None and s != cur:
+                yield cur, (buf[0] if len(buf) == 1
+                            else pd.concat(buf, ignore_index=True))
+                buf = []
+            cur = s
+            buf.append(pdf.iloc[start:c])
+            start = c
+    if buf:
+        yield cur, (buf[0] if len(buf) == 1
+                    else pd.concat(buf, ignore_index=True))
+
+
 def _decode_seg_tds(sub: "pd.DataFrame", ti_of: dict) -> dict:
     """One segment's positional postings rows → per-term decode dict for
     the phrase/span collector kernels: sorted docs, aligned
@@ -1343,14 +1377,14 @@ class IndexSearcher:
         def fn(batches):
             import time as _time
             t_wall0, t_cpu0 = _time.time(), _time.process_time()
-            n_batches = n_in = 0
-            parts: list[tuple] = []
-            for pdf in batches:
+            n_in = n_exp_tot = 0
+            # streamed per segment (see _iter_seg_chunks): decode,
+            # expand, reduce and emit one segment at a time, so worker
+            # memory is bounded by one segment's scan rows however many
+            # segments _coalesced packs into this task
+            for s, pdf in _iter_seg_chunks(batches):
                 n_rows = len(pdf)
-                n_batches += 1
                 n_in += n_rows
-                if n_rows == 0:
-                    continue
                 counts = pdf["num_docs"].to_numpy(np.int64)
                 docs = batch_delta_decode(
                     batch_unpack(pdf["docs_bin"].tolist(), counts), counts
@@ -1359,7 +1393,6 @@ class IndexSearcher:
                 v_starts = np.cumsum(counts) - counts
                 flds = pdf["field"].tolist()
                 trms = pdf["term"].tolist()
-                segs_row = pdf["seg"].to_numpy(np.int32)
 
                 row_kid = np.fromiter(
                     (kid_of[(f_, t)] for f_, t in zip(flds, trms)),
@@ -1407,54 +1440,30 @@ class IndexSearcher:
                 sc = sc.astype(ftype)
                 if not scored_e.all():
                     sc[np.repeat(~scored_e, lens_e)] = 0
-                parts.append((
-                    np.repeat(segs_row[exp_row], lens_e),
-                    docs[idx] if not identity else docs,
+                doc_a = docs[idx] if not identity else docs
+                n_exp_tot += len(doc_a)
+                q3, d3, s3 = _collector_seg_reduce(
+                    doc_a,
                     np.repeat(qid_cat[cidx], lens_e),
                     np.repeat(gid_cat[cidx], lens_e),
                     np.repeat(role_cat[cidx], lens_e),
-                    sc,
-                ))
-            t_dec = _time.time()
-            if not parts:
-                return
-            seg_a = np.concatenate([p[0] for p in parts])
-            doc_a = np.concatenate([p[1] for p in parts])
-            qid_a = np.concatenate([p[2] for p in parts])
-            gid_a = np.concatenate([p[3] for p in parts])
-            role_a = np.concatenate([p[4] for p in parts])
-            sc_a = np.concatenate([p[5] for p in parts])
-
-            oq, oseg, od, osc = [], [], [], []
-            for s in np.unique(seg_a):
-                sel = seg_a == s
-                q3, d3, s3 = _collector_seg_reduce(
-                    doc_a[sel], qid_a[sel], gid_a[sel], role_a[sel],
-                    sc_a[sel], g_role, g_nm, g_nf, g_ms,
+                    sc, g_role, g_nm, g_nf, g_ms,
                     r_nm, r_nf, r_ms, tomb.get(int(s)), lucene, ftype, k_)
                 if len(q3) == 0:
                     continue
-                oq.append(q3)
-                oseg.append(np.full(len(q3), s, dtype=np.int32))
-                od.append(d3)
-                osc.append(s3)
+                yield pd.DataFrame({
+                    "_q": q3,
+                    "seg": np.full(len(q3), s, dtype=np.int32),
+                    "doc": d3,
+                    "score": s3,
+                })
             if prof:
                 os.makedirs("/tmp/rucene_prof", exist_ok=True)
                 with open(f"/tmp/rucene_prof/{os.getpid()}.log", "a") as fh:
                     fh.write(
-                        f"decode wall={t_dec - t_wall0:.3f}"
-                        f" reduce wall={_time.time() - t_dec:.3f}"
+                        f"wall={_time.time() - t_wall0:.3f}"
                         f" cpu={_time.process_time() - t_cpu0:.3f}"
-                        f" batches={n_batches} rows={n_in}"
-                        f" exp={len(seg_a)}\n")
-            if not oq:
-                return
-            yield pd.DataFrame({
-                "_q": np.concatenate(oq),
-                "seg": np.concatenate(oseg),
-                "doc": np.concatenate(od),
-                "score": np.concatenate(osc),
-            })
+                        f" rows={n_in} exp={n_exp_tot}\n")
 
         by_field: dict[str, list[str]] = {}
         for f_, t in by_key:
@@ -1975,14 +1984,8 @@ class IndexSearcher:
                      & (tb[np.minimum(pos, len(tb) - 1)] == docs))
 
         def fn(batches):
-            bufs = [p for p in batches if len(p)]
-            if not bufs:
-                return
-            all_ = pd.concat(bufs, ignore_index=True)
-            seg_a = all_["seg"].to_numpy(np.int32)
-            out_s, out_d, out_sc = [], [], []
-            for s in np.unique(seg_a):
-                sub = all_[seg_a == s]
+            # streamed per segment (see _iter_seg_chunks): bounded memory
+            for s, sub in _iter_seg_chunks(batches):
                 tb = tomb.get(int(s))
                 ti_row = np.fromiter(
                     (ti_of[t] for t in sub["term"]),
@@ -2065,16 +2068,11 @@ class IndexSearcher:
                     continue
                 score = sums.astype(ftype)
                 top = np.lexsort((docs_u, -score))[:k_]
-                out_s.append(np.full(len(top), s, dtype=np.int32))
-                out_d.append(docs_u[top])
-                out_sc.append(score[top])
-            if not out_s:
-                return
-            yield pd.DataFrame({
-                "seg": np.concatenate(out_s),
-                "doc": np.concatenate(out_d),
-                "score": np.concatenate(out_sc),
-            })
+                yield pd.DataFrame({
+                    "seg": np.full(len(top), s, dtype=np.int32),
+                    "doc": docs_u[top],
+                    "score": score[top],
+                })
 
         scan = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(terms)
@@ -2133,45 +2131,42 @@ class IndexSearcher:
         k_ = int(k)
 
         def fn(batches):
-            bufs = [p for p in batches if len(p)]
-            if not bufs:
-                return
-            all_ = pd.concat(bufs, ignore_index=True)
-            counts = all_["num_docs"].to_numpy(np.int64)
-            docs = batch_delta_decode(
-                batch_unpack(all_["docs_bin"].tolist(), counts), counts
-            ).astype(np.int64)
-            tfs = batch_unpack(all_["tfs_bin"].tolist(), counts)
-            ci_row = np.fromiter(
-                (ci_of[(f_, t)] for f_, t
-                 in zip(all_["field"], all_["term"])),
-                dtype=np.int64, count=len(all_))
-            ci_el = np.repeat(ci_row, counts)
-            seg_el = np.repeat(all_["seg"].to_numpy(np.int32), counts)
-            if lucene:
-                nbs = batch_unpack(all_["norms_bin"].tolist(), counts
-                                   ).astype(np.int64)
-                denom = np.empty(len(ci_el), dtype=np.float32)
-                for f_ in set(flds):
-                    mm = np.isin(ci_el, [i for i, ff in enumerate(flds)
-                                         if ff == f_])
-                    denom[mm] = cache_f[f_][nbs[mm]]
-                tff = tfs.astype(np.float32)
-                sc = ((wk32[ci_el] * tff) / (tff + denom)
-                      ).astype(np.float64)
-            else:
-                dls = batch_unpack(all_["dls_bin"].tolist(), counts
-                                   ).astype(np.float64)
-                tff = tfs.astype(np.float64)
-                den = tff + k1_a[ci_el] * (
-                    (1.0 - b_a[ci_el]) + b_a[ci_el] * dls / avg_a[ci_el])
-                sc = coef[ci_el] * tff / den
-            out_s, out_d, out_sc = [], [], []
-            for s in np.unique(seg_el):
-                sel = seg_el == s
-                d_s, v_s = docs[sel], sc[sel]
+            # streamed per segment (see _iter_seg_chunks): bounded memory
+            for s, sub in _iter_seg_chunks(batches):
+                counts = sub["num_docs"].to_numpy(np.int64)
+                d_s = batch_delta_decode(
+                    batch_unpack(sub["docs_bin"].tolist(), counts),
+                    counts).astype(np.int64)
+                tfs = batch_unpack(sub["tfs_bin"].tolist(), counts)
+                ci_row = np.fromiter(
+                    (ci_of[(f_, t)] for f_, t
+                     in zip(sub["field"], sub["term"])),
+                    dtype=np.int64, count=len(sub))
+                ci_el = np.repeat(ci_row, counts)
+                if lucene:
+                    nbs = batch_unpack(sub["norms_bin"].tolist(), counts
+                                       ).astype(np.int64)
+                    denom = np.empty(len(ci_el), dtype=np.float32)
+                    for f_ in set(flds):
+                        mm = np.isin(
+                            ci_el, [i for i, ff in enumerate(flds)
+                                    if ff == f_])
+                        denom[mm] = cache_f[f_][nbs[mm]]
+                    tff = tfs.astype(np.float32)
+                    v_s = ((wk32[ci_el] * tff) / (tff + denom)
+                           ).astype(np.float64)
+                else:
+                    dls = batch_unpack(sub["dls_bin"].tolist(), counts
+                                       ).astype(np.float64)
+                    tff = tfs.astype(np.float64)
+                    den = tff + k1_a[ci_el] * (
+                        (1.0 - b_a[ci_el])
+                        + b_a[ci_el] * dls / avg_a[ci_el])
+                    v_s = coef[ci_el] * tff / den
                 o = np.argsort(d_s, kind="stable")
                 d_s, v_s = d_s[o], v_s[o]
+                if len(d_s) == 0:
+                    continue
                 nb = np.empty(len(d_s), dtype=bool)
                 nb[0] = True
                 nb[1:] = d_s[1:] != d_s[:-1]
@@ -2189,16 +2184,11 @@ class IndexSearcher:
                 if len(du) == 0:
                     continue
                 top = np.lexsort((du, -score))[:k_]
-                out_s.append(np.full(len(top), s, dtype=np.int32))
-                out_d.append(du[top])
-                out_sc.append(score[top])
-            if not out_s:
-                return
-            yield pd.DataFrame({
-                "seg": np.concatenate(out_s),
-                "doc": np.concatenate(out_d),
-                "score": np.concatenate(out_sc),
-            })
+                yield pd.DataFrame({
+                    "seg": np.full(len(top), s, dtype=np.int32),
+                    "doc": du[top],
+                    "score": score[top],
+                })
 
         by_field: dict[str, list[str]] = {}
         for f_, t, _ in specs:
@@ -3070,17 +3060,9 @@ class IndexSearcher:
         term_ti = ti_of
 
         def fn(batches):
-            bufs: list[pd.DataFrame] = []
-            for pdf in batches:
-                if len(pdf):
-                    bufs.append(pdf)
-            if not bufs:
-                return
-            all_ = pd.concat(bufs, ignore_index=True)
-            seg_a = all_["seg"].to_numpy(np.int32)
-            out_s, out_d, out_sc = [], [], []
-            for s in np.unique(seg_a):
-                sub = all_[seg_a == s]
+            # streamed per segment — peak memory is one segment's rows
+            # no matter how many segments _coalesced packs in
+            for s, sub in _iter_seg_chunks(batches):
                 tds = _decode_seg_tds(sub, term_ti)
                 if len(tds) < n_uniq:
                     continue
@@ -3090,16 +3072,11 @@ class IndexSearcher:
                     slop=slop_, terms=terms_)
                 if len(dv) == 0:
                     continue
-                out_s.append(np.full(len(dv), s, dtype=np.int32))
-                out_d.append(dv)
-                out_sc.append(sv)
-            if not out_s:
-                return
-            yield pd.DataFrame({
-                "seg": np.concatenate(out_s),
-                "doc": np.concatenate(out_d),
-                "score": np.concatenate(out_sc),
-            })
+                yield pd.DataFrame({
+                    "seg": np.full(len(dv), s, dtype=np.int32),
+                    "doc": dv,
+                    "score": sv,
+                })
 
         scan = self._postings.filter(
             (F.col("field") == q.field) & F.col("term").isin(uniq_terms)
@@ -3185,14 +3162,8 @@ class IndexSearcher:
         ti_map = ti_of
 
         def fn(batches):
-            bufs = [p for p in batches if len(p)]
-            if not bufs:
-                return
-            all_ = pd.concat(bufs, ignore_index=True)
-            seg_a = all_["seg"].to_numpy(np.int32)
-            out_s, out_d, out_sc = [], [], []
-            for s in np.unique(seg_a):
-                sub = all_[seg_a == s]
+            # streamed per segment (see _iter_seg_chunks): bounded memory
+            for s, sub in _iter_seg_chunks(batches):
                 tds = _decode_seg_tds(sub, ti_map)
                 dv, sv = _span_seg_topk(
                     tds, spec, group_tis, tomb.get(int(s)), k_, chunk0,
@@ -3200,16 +3171,11 @@ class IndexSearcher:
                     fast2, ta2, tb2, slop2)
                 if len(dv) == 0:
                     continue
-                out_s.append(np.full(len(dv), s, dtype=np.int32))
-                out_d.append(dv)
-                out_sc.append(sv)
-            if not out_s:
-                return
-            yield pd.DataFrame({
-                "seg": np.concatenate(out_s),
-                "doc": np.concatenate(out_d),
-                "score": np.concatenate(out_sc),
-            })
+                yield pd.DataFrame({
+                    "seg": np.full(len(dv), s, dtype=np.int32),
+                    "doc": dv,
+                    "score": sv,
+                })
 
         scan = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(uniq_terms)
