@@ -186,14 +186,17 @@ def main() -> None:
         delete_by_keys(idx, victims)
         stages["delete_2pct"] = round(time.time() - t0, 2)
         t0 = time.time()
-        # up to 3 tiered merges (each rewrites ~10 segments AND re-runs
-        # the global stats aggregation — bounding the count keeps the
-        # stage measuring merge throughput, not stats-reagg repetition)
+        # default 3 tiered merge cycles (each rewrites ~10 segments AND
+        # re-runs the global stats aggregation — bounding the count keeps
+        # the stage measuring merge throughput, not stats-reagg
+        # repetition). BENCH1M_MERGES raises the cap toward true policy
+        # quiescence (a 256-partition build converges to ~12 segments,
+        # collapsing per-query fixed cost).
         merged = maybe_merge(
             spark, idx,
             TieredMergePolicy(max_merged_segment_bytes=1 << 40,
                               segs_per_tier=4.0),
-            max_merges=3)
+            max_merges=int(os.environ.get("BENCH1M_MERGES", "3")))
         stages["tiered_merge"] = round(time.time() - t0, 2)
         out["merges_done"] = len(merged)
         out["segments_after"] = len(
