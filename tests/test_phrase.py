@@ -114,3 +114,33 @@ def test_2term_batch_accepts_plain_lists():
         [np.array([1, 5]), np.array([2, 9])], [0, 1], ["a", "b"], 3)
     assert np.float32(got[0]) == want0
     assert got[1] == np.float32(0.0)
+
+
+def test_2term_flat_equals_list_kernel():
+    """The flat-input core (what the phrase collector feeds directly)
+    returns bit-identical freqs to the list wrapper, including zero-tf
+    rows and empty batches."""
+    from rucene_spark.phrase import (
+        sloppy_phrase_freq_2term_batch,
+        sloppy_phrase_freq_2term_flat,
+    )
+
+    rng = np.random.default_rng(7)
+    for o0, o1, slop in ((0, 1, 2), (1, 0, 0), (0, 3, 5)):
+        la_l, lb_l = [], []
+        for _ in range(200):
+            span = int(rng.integers(11, 40))
+            na, nb = int(rng.integers(0, 11)), int(rng.integers(0, 11))
+            la_l.append(np.sort(rng.choice(
+                span, size=na, replace=False)).astype(np.int64))
+            lb_l.append(np.sort(rng.choice(
+                span, size=nb, replace=False)).astype(np.int64))
+        want = sloppy_phrase_freq_2term_batch(la_l, lb_l, o0, o1, slop)
+        la = np.array([len(x) for x in la_l], dtype=np.int64)
+        lb = np.array([len(x) for x in lb_l], dtype=np.int64)
+        got = sloppy_phrase_freq_2term_flat(
+            np.concatenate(la_l), la, np.concatenate(lb_l), lb,
+            o0, o1, slop)
+        assert got.tobytes() == want.tobytes()
+    e = np.empty(0, dtype=np.int64)
+    assert len(sloppy_phrase_freq_2term_flat(e, e, e, e, 0, 1, 2)) == 0

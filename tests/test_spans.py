@@ -267,3 +267,31 @@ def test_span_collector_matches_frame_and_deletes(spark, corpus, built,
     frame = IndexSearcher(spark, d).search(q, 10).collect()
     assert [(r["url"], r["score"]) for r in kern] == [
         (r["url"], r["score"]) for r in frame]
+
+
+def test_ordered_2term_flat_equals_list_kernel():
+    """The flat-input core (what the span collector feeds directly)
+    returns bit-identical freqs to the list wrapper, including zero-tf
+    rows and empty batches."""
+    from rucene_spark.spans import (
+        ordered_near_freq_2term_batch,
+        ordered_near_freq_2term_flat,
+    )
+
+    rng = np.random.default_rng(11)
+    for slop in (0, 2, 9):
+        lists_a, lists_b = [], []
+        for _ in range(200):
+            na, nb = int(rng.integers(0, 11)), int(rng.integers(0, 11))
+            lists_a.append(np.sort(rng.choice(
+                60, size=na, replace=False)).astype(np.int64))
+            lists_b.append(np.sort(rng.choice(
+                60, size=nb, replace=False)).astype(np.int64))
+        want = ordered_near_freq_2term_batch(lists_a, lists_b, slop)
+        la = np.array([len(x) for x in lists_a], dtype=np.int64)
+        lb = np.array([len(x) for x in lists_b], dtype=np.int64)
+        got = ordered_near_freq_2term_flat(
+            np.concatenate(lists_a), la, np.concatenate(lists_b), lb, slop)
+        assert got.tobytes() == want.tobytes()
+    e = np.empty(0, dtype=np.int64)
+    assert len(ordered_near_freq_2term_flat(e, e, e, e, 3)) == 0
