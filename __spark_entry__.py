@@ -667,7 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # highlight_topk ⊂ highlight_phrase_topk, constant_score and
     # boost_topk ⊂ the boost-folding span_boost/boosting/dismax gates) —
     # ride at the tail for judge/self re-runs (tools/check_oracle.py
-    # covers all 59).
+    # covers all 60).
     return {
         "term_topk": q_term_topk,
         "docs_level_topk": q_docs_level_topk,
