@@ -207,6 +207,18 @@ def main() -> None:
         n_after = s2.count(TermQuery("text", hi))
         stages["q_term_after_merge"] = round(time.time() - t0, 2)
         out["term_df_after_merge"] = int(n_after)
+        # the cold number above folds in one-time post-merge costs (segment
+        # re-listing through the storage seam, tombstone resolve/collect,
+        # Catalyst compile); a warm repeat isolates the steady-state
+        # tombstone-aware cost a serving process would actually pay
+        t0 = time.time()
+        s2.count(TermQuery("text", hi))
+        stages["q_term_after_merge_warm"] = round(time.time() - t0, 2)
+        # and a post-merge top-k exercises the collector kernels over the
+        # MERGED single-file segment layout (layout guard path)
+        t0 = time.time()
+        s2.search(TermQuery("text", hi), 10).collect()
+        stages["q_term_topk_after_merge"] = round(time.time() - t0, 2)
 
         # ---- 5. IVF at n_cells=256 over 200k vectors
         from rucene_spark.ann import ivf_build, ivf_search
