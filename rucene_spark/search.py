@@ -191,6 +191,63 @@ def _collector_seg_reduce(doc, qid, gid, role, sc, g_role, g_nm, g_nf,
     return qs_[sel], ds_[sel], ss_[sel]
 
 
+class _LazyPositions:
+    """Per-term lazily-decoded position store for the collector kernels.
+
+    The impact-ordered verify loop touches pos_bin blocks in
+    ub-descending doc chunks; decoding one 128-entry block per
+    ``batch_unpack_positions`` call costs a Python-level decode per
+    block (~40µs), which dominates the adversarial stopword case where
+    nearly every block survives (measured 58 of 65ms per segment visit).
+    Here every block a chunk newly touches is decoded in ONE batched
+    codec call into a preallocated per-term flat array (position count =
+    Σtf, a few hundred KB per stopword term at 34k docs/seg), and the
+    per-entry gather is a single vectorized fancy-index — no per-block
+    Python loop. Blocks no surviving chunk lands in are still never
+    varint-decoded (the θ-cutoff win is preserved)."""
+
+    __slots__ = ("td", "eoff", "pstart", "pend", "have", "flat")
+
+    def __init__(self, td: dict):
+        self.td = td
+        tfs = td["tfs"]
+        self.eoff = np.cumsum(tfs) - tfs          # entry → flat start
+        blk_ends = td["blk_ends"]
+        self.pend = self.eoff[blk_ends - 1] + tfs[blk_ends - 1]
+        self.pstart = self.eoff[blk_ends - td["counts"]]
+        self.have = np.zeros(len(blk_ends), dtype=bool)
+        self.flat = None                           # allocated on demand
+
+    def gather(self, ent_chunk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """flat positions + per-entry tf for ASCENDING entries."""
+        td = self.td
+        tfe = td["tfs"][ent_chunk]
+        tot = int(tfe.sum())
+        if tot == 0:
+            return np.empty(0, dtype=np.int64), tfe
+        bi = np.unique(np.searchsorted(td["blk_ends"], ent_chunk,
+                                       side="right"))
+        new = bi[~self.have[bi]]
+        if new.size:
+            if self.flat is None:
+                self.flat = np.empty(int(td["tfs"].sum()), dtype=np.int64)
+            blk_starts = td["blk_ends"] - td["counts"]
+            tf_parts = [td["tfs"][blk_starts[b]:td["blk_ends"][b]]
+                        for b in new]
+            dec, _ = batch_unpack_positions(
+                [td["pos_bins"][b] for b in new],
+                np.concatenate(tf_parts))
+            off = 0
+            for b in new:
+                ps, pe = int(self.pstart[b]), int(self.pend[b])
+                self.flat[ps:pe] = dec[off:off + (pe - ps)]
+                off += pe - ps
+            self.have[new] = True
+        idx = (np.repeat(self.eoff[ent_chunk], tfe) + np.arange(tot)
+               - np.repeat(np.cumsum(tfe) - tfe, tfe))
+        return self.flat[idx], tfe
+
+
 def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
                      cache, coef64, k1_, b_, avgdl64, slop=0, terms=None):
     """Segment-local exact-phrase top-k with impact-ordered verification.
@@ -262,37 +319,15 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
     order = np.lexsort((conj, -ub64))
 
     offpad = max(offsets) if offsets else 0
-    pos_cache: dict[tuple[int, int], tuple] = {}
+    stores = {ti: _LazyPositions(tds[ti]) for ti in uniq_tis}
 
     def _gather(ti, ent_chunk, docs_chunk):
         """positions of the given (ascending) entries of term ti →
-        (doc-repeated array, flat positions), decoding only the pos_bin
-        blocks the entries land in (memoized across chunks)."""
-        td = tds[ti]
-        blk_ends = td["blk_ends"]
-        blk_starts = blk_ends - td["counts"]
-        bi = np.searchsorted(blk_ends, ent_chunk, side="right")
-        d_parts, p_parts, t_parts = [], [], []
-        for b in np.unique(bi):
-            m = bi == b
-            lo, hi = int(blk_starts[b]), int(blk_ends[b])
-            got = pos_cache.get((ti, b))
-            if got is None:
-                tf_b = td["tfs"][lo:hi]
-                flat, _ = batch_unpack_positions([td["pos_bins"][b]], tf_b)
-                got = (flat, np.cumsum(tf_b) - tf_b)
-                pos_cache[(ti, b)] = got
-            flat, eoff = got
-            e_rel = ent_chunk[m] - lo
-            tfe = td["tfs"][lo:hi][e_rel]
-            tot = int(tfe.sum())
-            idx = (np.repeat(eoff[e_rel], tfe) + np.arange(tot)
-                   - np.repeat(np.cumsum(tfe) - tfe, tfe))
-            p_parts.append(flat[idx])
-            d_parts.append(np.repeat(docs_chunk[m], tfe))
-            t_parts.append(tfe)
-        return (np.concatenate(d_parts), np.concatenate(p_parts),
-                np.concatenate(t_parts))
+        (doc-repeated array, flat positions, per-entry tf), decoding
+        only the pos_bin blocks the entries land in (batched + memoized
+        across chunks by the _LazyPositions store)."""
+        flat, tfe = stores[ti].gather(ent_chunk)
+        return np.repeat(docs_chunk, tfe), flat, tfe
 
     vd_parts, vs_parts = [], []
     n_hits = 0
@@ -434,27 +469,42 @@ def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
     upstream by the caller, like the exhaustive path)."""
     from .spans import ordered_near_freq_2term_flat, span_freq
 
-    doc_parts, ti_parts = [], []
-    for ti, td in tds.items():
-        doc_parts.append(td["docs"])
-        ti_parts.append(np.full(len(td["docs"]), ti, dtype=np.int64))
     e_i = np.empty(0, dtype=np.int64)
-    if not doc_parts:
+    if not tds:
         return e_i, np.empty(0, dtype=np.float64)
-    doc_el = np.concatenate(doc_parts)
-    ti_el = np.concatenate(ti_parts)
-    o = np.argsort(doc_el, kind="stable")
-    doc_el, ti_el = doc_el[o], ti_el[o]
-    nb_ = np.empty(len(doc_el), dtype=bool)
-    nb_[0] = True
-    nb_[1:] = doc_el[1:] != doc_el[:-1]
-    starts = np.flatnonzero(nb_)
-    docs_u = doc_el[starts]
-    keep = np.ones(len(docs_u), dtype=bool)
-    for g in group_tis:
-        gm = np.isin(ti_el, list(g)).astype(np.int64)
-        keep &= np.add.reduceat(gm, starts) > 0
-    conj = docs_u[keep]
+    if all(len(g) == 1 for g in group_tis):
+        # every clause group is one required term: the candidate set is
+        # a plain sorted intersection (the phrase kernel's shape) — no
+        # concatenate/argsort/reduceat machinery
+        conj = None
+        for (ti,) in group_tis:
+            td = tds.get(ti)
+            docs_g = td["docs"] if td is not None else e_i
+            conj = docs_g if conj is None else np.intersect1d(
+                conj, docs_g, assume_unique=True)
+            if conj.size == 0:
+                break
+        if conj is None:
+            conj = e_i
+    else:
+        doc_parts, ti_parts = [], []
+        for ti, td in tds.items():
+            doc_parts.append(td["docs"])
+            ti_parts.append(np.full(len(td["docs"]), ti, dtype=np.int64))
+        doc_el = np.concatenate(doc_parts)
+        ti_el = np.concatenate(ti_parts)
+        o = np.argsort(doc_el, kind="stable")
+        doc_el, ti_el = doc_el[o], ti_el[o]
+        nb_ = np.empty(len(doc_el), dtype=bool)
+        nb_[0] = True
+        nb_[1:] = doc_el[1:] != doc_el[:-1]
+        starts = np.flatnonzero(nb_)
+        docs_u = doc_el[starts]
+        keep = np.ones(len(docs_u), dtype=bool)
+        for g in group_tis:
+            gm = np.isin(ti_el, list(g)).astype(np.int64)
+            keep &= np.add.reduceat(gm, starts) > 0
+        conj = docs_u[keep]
     if tomb is not None and conj.size:
         p_ = np.searchsorted(tomb, conj)
         dead = (p_ < len(tomb)) & (
@@ -498,35 +548,13 @@ def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
                         + b_ * dls_c.astype(np.float64) / avgdl64))
     order = np.lexsort((conj, -ub64))
 
-    pos_cache: dict[tuple[int, int], tuple] = {}
+    stores = {ti: _LazyPositions(td) for ti, td in tds.items()}
 
     def _gather_pos(ti, ent_chunk):
         """flat positions + per-entry tf for ASCENDING entries of term
-        ti, decoding (and memoizing) only the blocks touched."""
-        td = tds[ti]
-        blk_ends = td["blk_ends"]
-        blk_starts = blk_ends - td["counts"]
-        bi = np.searchsorted(blk_ends, ent_chunk, side="right")
-        p_parts, t_parts = [], []
-        for bb in np.unique(bi):
-            m = bi == bb
-            lo, hi = int(blk_starts[bb]), int(blk_ends[bb])
-            got = pos_cache.get((ti, bb))
-            if got is None:
-                tf_b = td["tfs"][lo:hi]
-                flat, _ = batch_unpack_positions([td["pos_bins"][bb]],
-                                                 tf_b)
-                got = (flat, np.cumsum(tf_b) - tf_b)
-                pos_cache[(ti, bb)] = got
-            flat, eoff = got
-            e_rel = ent_chunk[m] - lo
-            tfe = td["tfs"][lo:hi][e_rel]
-            tot = int(tfe.sum())
-            idx = (np.repeat(eoff[e_rel], tfe) + np.arange(tot)
-                   - np.repeat(np.cumsum(tfe) - tfe, tfe))
-            p_parts.append(flat[idx])
-            t_parts.append(tfe)
-        return np.concatenate(p_parts), np.concatenate(t_parts)
+        ti, decoding only the blocks touched (batched + memoized across
+        chunks by the _LazyPositions store)."""
+        return stores[ti].gather(ent_chunk)
 
     vd_parts, vs_parts = [], []
     n_hits = 0
