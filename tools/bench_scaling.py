@@ -46,6 +46,32 @@ LAT_REPS = int(os.environ.get("SCALE_BENCH_LAT_REPS", "5"))
 TMPFS = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 SEGMENTS = 64
 
+# SCALE_BENCH_MODE=executors swaps the thread-level proxy (local[N] vs
+# local[4N]) for Spark's local-cluster master: SEPARATE executor JVMs with
+# their own heaps, python workers, and block managers, shuffling over the
+# block-transfer service — the closest a single host gets to the
+# north_rule's literal "N and 4N executors". Each executor gets
+# SCALE_BENCH_EXEC_CORES cores / SCALE_BENCH_EXEC_MEM_MB heap; the small
+# level runs 1 executor, the big level 4.
+MODE = os.environ.get("SCALE_BENCH_MODE", "threads")
+EXEC_CORES = int(os.environ.get("SCALE_BENCH_EXEC_CORES", "8"))
+EXEC_MEM_MB = int(os.environ.get("SCALE_BENCH_EXEC_MEM_MB", "8192"))
+
+
+def _master(level: int) -> str:
+    if MODE == "executors":
+        return f"local-cluster[{level},{EXEC_CORES},{EXEC_MEM_MB}]"
+    return f"local[{level}]"
+
+
+# level values: thread counts in threads mode, executor counts in
+# executors mode (1 vs 4 executors = the rule's N and 4N). The big level
+# is 4x the small one either way, so the efficiency divisor stays 4.
+LEVELS = (1, 4) if MODE == "executors" else (N_SMALL, N_BIG)
+# host parallelism equivalent per level, for the no-Spark control
+LEVEL_PROCS = ({1: EXEC_CORES, 4: 4 * EXEC_CORES}
+               if MODE == "executors" else {N_SMALL: N_SMALL, N_BIG: N_BIG})
+
 
 def _zip_pkg(tmp: str) -> str:
     zpath = os.path.join(tmp, "rucene_spark.zip")
@@ -107,7 +133,8 @@ def _ctl_work(_i):
 def _control(corpus_path: str) -> dict:
     seg_docs = DOCS // SEGMENTS
     out = {}
-    for n in (N_SMALL, N_BIG):
+    for lvl in LEVELS:
+        n = LEVEL_PROCS[lvl]
         walls = []
         for _ in range(REPS):
             with mp.Pool(n, initializer=_ctl_init,
@@ -120,16 +147,16 @@ def _control(corpus_path: str) -> dict:
             "wall_secs": round(wall, 2),
             "docs_per_sec": round(SEGMENTS * seg_docs / wall, 1),
         }
-    eff = (out[f"procs[{N_BIG}]"]["docs_per_sec"]
-           / (4.0 * out[f"procs[{N_SMALL}]"]["docs_per_sec"]))
+    eff = (out[f"procs[{LEVEL_PROCS[LEVELS[1]]}]"]["docs_per_sec"]
+           / (4.0 * out[f"procs[{LEVEL_PROCS[LEVELS[0]]}]"]["docs_per_sec"]))
     out["host_ceiling_efficiency"] = round(eff, 3)
     return out
 
 
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="rucene_scale_")
-    results: dict = {"docs": DOCS, "segments": SEGMENTS,
-                     "levels": [f"local[{N_SMALL}]", f"local[{N_BIG}]"]}
+    results: dict = {"docs": DOCS, "segments": SEGMENTS, "mode": MODE,
+                     "levels": [_master(lvl) for lvl in LEVELS]}
     try:
         zpath = _zip_pkg(tmp)
         corpus = f"/tmp/rucene_scale_corpus_{DOCS}.parquet"
@@ -146,31 +173,31 @@ def main() -> None:
         # Levels are INTERLEAVED rep-by-rep so the host's elastic-load
         # drift (documented in BASELINE.md) hits both levels equally
         # instead of biasing whichever level ran in the slower window.
-        runs_by_level: dict[int, list] = {N_SMALL: [], N_BIG: []}
+        runs_by_level: dict[int, list] = {lvl: [] for lvl in LEVELS}
         for rep in range(REPS + 1):  # first pair is warm-up
-            for cores in (N_SMALL, N_BIG):
-                idx = os.path.join(TMPFS, f"rucene-bench-idx{cores}-{rep}")
+            for lvl in LEVELS:
+                idx = os.path.join(TMPFS, f"rucene-bench-idx{lvl}-{rep}")
                 shutil.rmtree(idx, ignore_errors=True)
                 r = _spark_submit(
-                    zpath, f"local[{cores}]", "build",
+                    zpath, _master(lvl), "build",
                     "--input", corpus, "--index-dir", idx,
                     "--segments", str(SEGMENTS), "--key-col", "url",
                 )
-                runs_by_level[cores].append(r)
+                runs_by_level[lvl].append(r)
                 if rep < REPS:
                     shutil.rmtree(idx, ignore_errors=True)
-                print(f"rep {rep} local[{cores}]:"
+                print(f"rep {rep} {_master(lvl)}:"
                       f" {r['docs_per_sec']} docs/s", file=sys.stderr)
         builds = {}
-        for cores in (N_SMALL, N_BIG):
-            timed = runs_by_level[cores][1:]
+        for lvl in LEVELS:
+            timed = runs_by_level[lvl][1:]
             med = statistics.median(r["docs_per_sec"] for r in timed)
-            builds[cores] = {
+            builds[lvl] = {
                 "docs_per_sec_median": med,
                 "docs_per_sec_runs": [r["docs_per_sec"] for r in timed],
                 "wall_secs_runs": [r["wall_secs"] for r in timed],
             }
-            print(f"local[{cores}]: median {med} docs/s", file=sys.stderr)
+            print(f"{_master(lvl)}: median {med} docs/s", file=sys.stderr)
         # paired per-rep efficiency: each rep's N and 4N runs execute
         # back-to-back, so their ratio samples ONE host-elasticity window
         # — the ratio estimator the drifting-CPU substrate actually
@@ -178,15 +205,15 @@ def main() -> None:
         # differs by up to 4x on identical code; see BASELINE.md)
         paired = [
             round(b["docs_per_sec"] / (4.0 * a["docs_per_sec"]), 3)
-            for a, b in zip(runs_by_level[N_SMALL][1:],
-                            runs_by_level[N_BIG][1:])
+            for a, b in zip(runs_by_level[LEVELS[0]][1:],
+                            runs_by_level[LEVELS[1]][1:])
         ]
         print(f"paired efficiencies: {paired}", file=sys.stderr)
-        eff = builds[N_BIG]["docs_per_sec_median"] / (
-            4.0 * builds[N_SMALL]["docs_per_sec_median"])
+        eff = builds[LEVELS[1]]["docs_per_sec_median"] / (
+            4.0 * builds[LEVELS[0]]["docs_per_sec_median"])
         results["index_build"] = {
-            f"local[{N_SMALL}]": builds[N_SMALL],
-            f"local[{N_BIG}]": builds[N_BIG],
+            _master(LEVELS[0]): builds[LEVELS[0]],
+            _master(LEVELS[1]): builds[LEVELS[1]],
             "scaling_efficiency": round(eff, 3),
             "paired_efficiency_runs": paired,
             "paired_efficiency_median": round(statistics.median(paired), 3),
@@ -209,14 +236,15 @@ def main() -> None:
         from rucene_spark.search import IndexSearcher
         from rucene_spark.webtext import make_corpus, make_query_strings
 
-        spark = (SparkSession.builder.master(f"local[{N_BIG}]")
-                 .config("spark.sql.shuffle.partitions", str(N_BIG))
+        big_procs = LEVEL_PROCS[LEVELS[1]]
+        spark = (SparkSession.builder.master(f"local[{big_procs}]")
+                 .config("spark.sql.shuffle.partitions", str(big_procs))
                  .config("spark.local.dir", f"{TMPFS}/spark-bench-tmp")
                  .config("spark.ui.enabled", "false")
                  .appName("rucene-scaling-queries").getOrCreate())
         spark.sparkContext.setLogLevel("ERROR")
         searcher = IndexSearcher(
-            spark, os.path.join(TMPFS, f"rucene-bench-idx{N_BIG}-{REPS}"))
+            spark, os.path.join(TMPFS, f"rucene-bench-idx{LEVELS[1]}-{REPS}"))
 
         oracle_corpus = make_corpus(800, seed=43)
         odir = os.path.join(tmp, "oracle_idx")
@@ -271,10 +299,10 @@ def main() -> None:
         print(json.dumps(results))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        for cores in (N_SMALL, N_BIG):
+        for lvl in LEVELS:
             for rep in range(REPS + 1):
                 shutil.rmtree(os.path.join(
-                    TMPFS, f"rucene-bench-idx{cores}-{rep}"),
+                    TMPFS, f"rucene-bench-idx{lvl}-{rep}"),
                     ignore_errors=True)
 
 
