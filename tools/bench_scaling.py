@@ -52,9 +52,14 @@ SEGMENTS = 64
 # block-transfer service — the closest a single host gets to the
 # north_rule's literal "N and 4N executors". Each executor gets
 # SCALE_BENCH_EXEC_CORES cores / SCALE_BENCH_EXEC_MEM_MB heap; the small
-# level runs 1 executor, the big level 4.
+# level runs 1 executor, the big level 4. Keep 4 x EXEC_CORES well inside
+# the host's real scaling envelope for this memory-bandwidth-bound
+# workload: the pinned no-Spark control measures ~21k docs/s at 8 procs
+# but ~10k at 32 on this host, so 8-core executors make the 4-executor
+# level HOST-bound, not dataflow-bound (see BENCH_SCALING_EXEC_480k.json
+# for the 8-core diagnostic run). Default 2 -> 2 vs 8 concurrent tasks.
 MODE = os.environ.get("SCALE_BENCH_MODE", "threads")
-EXEC_CORES = int(os.environ.get("SCALE_BENCH_EXEC_CORES", "8"))
+EXEC_CORES = int(os.environ.get("SCALE_BENCH_EXEC_CORES", "2"))
 EXEC_MEM_MB = int(os.environ.get("SCALE_BENCH_EXEC_MEM_MB", "8192"))
 
 
@@ -111,7 +116,16 @@ _CTL_DATA = None
 def _ctl_init(corpus_path: str, seg_docs: int):
     global _CTL_DATA
     sys.path.insert(0, REPO)
+    import pyarrow as pa
     import pyarrow.parquet as pq
+    # Pin Arrow's internal pools to one thread per control worker, matching
+    # PySpark's own per-task pinning (worker.py sets OMP_NUM_THREADS from
+    # spark.task.cpus). Without this, N workers x 32-thread Arrow pools
+    # oversubscribe the host and the "control" measures thrash, not the
+    # host's compute ceiling (measured: 8 pinned procs 21.4k docs/s vs
+    # 15.7k unpinned on the same corpus).
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
     t = pq.read_table(corpus_path, columns=["url", "text", "lang"])
     _CTL_DATA = t.slice(0, seg_docs).to_pandas()
 
