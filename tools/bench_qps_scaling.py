@@ -20,6 +20,14 @@ Environment:
   SCALE_QPS_N       small core count          (default 2; big = 4N)
   SCALE_QPS_PASSES  timed passes per level    (default 3)
   SCALE_QPS_OUT     output JSON filename      (default BENCH_QPS_SCALING.json)
+  SCALE_QPS_MODE    "threads" (local[N] vs local[4N], default) or
+                    "executors": serve through Spark's local-cluster
+                    master — 1 vs 4 SEPARATE executor JVMs with
+                    SCALE_QPS_EXEC_CORES cores each (default 1, the
+                    regime where the shared host can actually grant the
+                    big level its cores — see BENCH_SCALING_EXEC*.json),
+                    the north_rule's literal "N and 4N executors" for
+                    the serving axis.
 
 Writes {repo}/BENCH_QPS_SCALING.json and prints it.
 """
@@ -39,13 +47,27 @@ N_SMALL = int(os.environ.get("SCALE_QPS_N", "2"))
 N_BIG = 4 * N_SMALL
 PASSES = int(os.environ.get("SCALE_QPS_PASSES", "3"))
 TMPFS = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+MODE = os.environ.get("SCALE_QPS_MODE", "threads")
+EXEC_CORES = int(os.environ.get("SCALE_QPS_EXEC_CORES", "1"))
+EXEC_MEM_MB = int(os.environ.get("SCALE_QPS_EXEC_MEM_MB", "8192"))
+# level values: core counts in threads mode, executor counts in
+# executors mode; the big level is 4x the small either way, so the
+# efficiency divisor stays 4
+LEVELS = (1, 4) if MODE == "executors" else (N_SMALL, N_BIG)
+
+
+def _master(level: int) -> str:
+    if MODE == "executors":
+        return f"local-cluster[{level},{EXEC_CORES},{EXEC_MEM_MB}]"
+    return f"local[{level}]"
 
 _WORKER = r"""
 import json, os, sys, time
 from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.environ["RS_REPO"])
-cores = int(os.environ["RS_CORES"])
+master = os.environ["RS_MASTER"]
+cores = int(os.environ["RS_CORES"])  # total task slots at this level
 passes = int(os.environ["RS_PASSES"])
 
 from pyspark.sql import SparkSession
@@ -53,14 +75,22 @@ from pyspark.sql import SparkSession
 from rucene_spark.query import QueryStringQueryBuilder
 from rucene_spark.search import IndexSearcher
 
-spark = (SparkSession.builder.master(f"local[{cores}]")
-         .appName(f"rucene-qps-{cores}")
-         .config("spark.sql.shuffle.partitions", str(cores))
-         .config("spark.scheduler.mode", "FAIR")
-         .config("spark.ui.enabled", "false")
-         .config("spark.local.dir", os.environ["RS_TMP"])
-         .config("spark.driver.memory", "16g")
-         .getOrCreate())
+builder = (SparkSession.builder.master(master)
+           .appName(f"rucene-qps-{master}")
+           .config("spark.sql.shuffle.partitions", str(cores))
+           .config("spark.scheduler.mode", "FAIR")
+           .config("spark.ui.enabled", "false")
+           .config("spark.local.dir", os.environ["RS_TMP"])
+           .config("spark.driver.memory", "16g"))
+if master.startswith("local-cluster"):
+    # separate executor JVMs: ship the package path to their python
+    # workers and size their heaps inside the worker capacity
+    builder = (builder
+               .config("spark.executor.memory",
+                       os.environ.get("RS_EXEC_MEM", "6g"))
+               .config("spark.executorEnv.PYTHONPATH",
+                       os.environ["RS_REPO"]))
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 searcher = IndexSearcher(spark, os.environ["RS_INDEX"])
@@ -152,7 +182,8 @@ def main() -> None:
 
     results: dict = {
         "docs": DOCS,
-        "levels": [f"local[{N_SMALL}]", f"local[{N_BIG}]"],
+        "mode": MODE,
+        "levels": [_master(lvl) for lvl in LEVELS],
         "query_set_size": len(qs_list),
     }
     # levels alternate round-by-round in fresh subprocesses (each level's
@@ -160,37 +191,39 @@ def main() -> None:
     # host-elasticity window — same paired-ratio estimator as the build
     # scaling bench (BASELINE.md round-3 datasets)
     rounds = int(os.environ.get("SCALE_QPS_ROUNDS", "2"))
-    by_level: dict[int, list] = {N_SMALL: [], N_BIG: []}
-    round_meds: dict[int, list] = {N_SMALL: [], N_BIG: []}
+    by_level: dict[int, list] = {lvl: [] for lvl in LEVELS}
+    round_meds: dict[int, list] = {lvl: [] for lvl in LEVELS}
     streams: dict[int, int] = {}
     for rnd in range(rounds):
-        for cores in (N_SMALL, N_BIG):
-            env = dict(os.environ, RS_REPO=REPO, RS_CORES=str(cores),
+        for lvl in LEVELS:
+            total = lvl * EXEC_CORES if MODE == "executors" else lvl
+            env = dict(os.environ, RS_REPO=REPO, RS_CORES=str(total),
+                       RS_MASTER=_master(lvl),
                        RS_PASSES=str(PASSES), RS_INDEX=idx,
                        RS_TMP=f"{TMPFS}/spark-qps-tmp",
                        RS_QUERIES=json.dumps(qs_list))
             out = subprocess.run([sys.executable, "-c", _WORKER], env=env,
-                                 capture_output=True, text=True, timeout=3600)
+                                 capture_output=True, text=True, timeout=7200)
             if out.returncode != 0:
                 raise RuntimeError(out.stderr[-4000:])
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            by_level[cores].extend(r["qps_runs"])
-            round_meds[cores].append(statistics.median(r["qps_runs"]))
-            streams[cores] = r["streams"]
-            print(f"round {rnd} local[{cores}]:"
-                  f" {round_meds[cores][-1]} qps", file=sys.stderr)
+            by_level[lvl].extend(r["qps_runs"])
+            round_meds[lvl].append(statistics.median(r["qps_runs"]))
+            streams[lvl] = r["streams"]
+            print(f"round {rnd} {_master(lvl)}:"
+                  f" {round_meds[lvl][-1]} qps", file=sys.stderr)
 
     paired = [round(b / (4.0 * a), 3)
-              for a, b in zip(round_meds[N_SMALL], round_meds[N_BIG])]
-    med = {c: statistics.median(by_level[c]) for c in (N_SMALL, N_BIG)}
-    eff = med[N_BIG] / (4.0 * med[N_SMALL])
+              for a, b in zip(round_meds[LEVELS[0]], round_meds[LEVELS[1]])]
+    med = {c: statistics.median(by_level[c]) for c in LEVELS}
+    eff = med[LEVELS[1]] / (4.0 * med[LEVELS[0]])
     results["serving"] = {
-        f"local[{N_SMALL}]": {"streams": streams[N_SMALL],
-                              "qps_runs": by_level[N_SMALL],
-                              "qps_median": round(med[N_SMALL], 3)},
-        f"local[{N_BIG}]": {"streams": streams[N_BIG],
-                            "qps_runs": by_level[N_BIG],
-                            "qps_median": round(med[N_BIG], 3)},
+        _master(LEVELS[0]): {"streams": streams[LEVELS[0]],
+                             "qps_runs": by_level[LEVELS[0]],
+                             "qps_median": round(med[LEVELS[0]], 3)},
+        _master(LEVELS[1]): {"streams": streams[LEVELS[1]],
+                             "qps_runs": by_level[LEVELS[1]],
+                             "qps_median": round(med[LEVELS[1]], 3)},
         "scaling_efficiency": round(eff, 3),
         "paired_efficiency_runs": paired,
         "paired_efficiency_median": round(statistics.median(paired), 3),
