@@ -893,6 +893,33 @@ class IndexSearcher:
                 for s, v in by_seg.items()}
         return self._tomb_cache
 
+    def warmup(self) -> "IndexSearcher":
+        """Absorb the session's first-query fixed costs before serving
+        traffic: spawn the Python worker pool on every scan slot, read
+        each postings segment file's parquet footer, prime the
+        term-stats footer, and materialize the tombstone / layout
+        memos. The work is metadata-plus-one-int-column only — no
+        postings bytes are decoded — yet it fronts the cold-start the
+        first real query otherwise pays (measured 10.1s first vs 5.2s
+        steady at 10M docs, BENCH_10M.json). This is the
+        SearcherFactory warm hook of the reference's SearcherManager
+        (search_manager.rs:132 SearcherFactory; Lucene warms new NRT
+        searchers the same way); streaming.SearcherManager calls it
+        before swapping a refreshed searcher in."""
+        def fn(it):
+            n = 0
+            for b in it:
+                n += len(b)
+            yield pd.DataFrame({"n": [n]})
+
+        self._coalesced(self._postings.select("seg")).mapInPandas(
+            fn, "n long").collect()
+        self._term_stats.select("term").limit(1).collect()
+        if self._bcast_deleted:
+            self._tomb_by_seg()
+        self._segs_single_file()
+        return self
+
     def _check_field(self, field: str) -> None:
         """Unknown fields are a hard error — never silently score against
         another field's postings (round-1 VERDICT 'What's wrong #1')."""

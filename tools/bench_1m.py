@@ -132,46 +132,54 @@ def main() -> None:
                                  verify_candidate_cap=max(2_000_000,
                                                           2 * DOCS))
         hi, mid, lo = "t000000", "t000050", "t002000"
-        suite = {
-            "term_topk": lambda: searcher.search(
-                TermQuery("text", hi), 10).collect(),
-            # stopword-pair phrase: BOTH terms are top-df — the candidate
-            # set is corpus-scale, exactly the round-2 'What's wrong #2'
-            # adversarial case the vectorized verify must survive
-            "stopword_phrase": lambda: searcher.search(
-                PhraseQuery.build("text", [hi, "t000001"], slop=0),
-                10).collect(),
-            "bool_must": lambda: searcher.search(
-                BooleanQuery.build(
-                    [TermQuery("text", hi), TermQuery("text", mid)],
-                    [], [], []), 10).collect(),
-            "dismax": lambda: searcher.search(
-                DisjunctionMaxQuery(
-                    [TermQuery("text", hi), TermQuery("text", mid)],
-                    0.3), 10).collect(),
-            "blockmax": lambda: searcher.search_blockmax(
-                [hi, mid, lo], 10).collect(),
-            "span_near": lambda: searcher.search(
-                SpanNearQuery([SpanTermQuery("text", hi),
-                               SpanTermQuery("text", "t000001")],
-                              slop=3, in_order=True), 10).collect(),
-        }
-        for name, fn in suite.items():
-            # one pathological query must not void a multi-hour run:
-            # record the failure and keep benchmarking the rest
-            try:
-                fn()  # warm-up
-                # search() memoizes built plans; re-collecting the cached
-                # DataFrame would reuse materialized shuffle stages and
-                # time only the final merge (same honesty rule as
-                # bench.py)
-                searcher._plan_cache.clear()
-                t0 = time.time()
-                fn()
-                stages[f"q_{name}"] = round(time.time() - t0, 2)
-            except Exception as exc:  # noqa: BLE001
-                stages[f"q_{name}"] = -1.0
-                out.setdefault("errors", {})[name] = repr(exc)[:300]
+
+        def make_suite(s):
+            return {
+                "term_topk": lambda: s.search(
+                    TermQuery("text", hi), 10).collect(),
+                # stopword-pair phrase: BOTH terms are top-df — the
+                # candidate set is corpus-scale, exactly the round-2
+                # 'What's wrong #2' adversarial case the vectorized
+                # verify must survive
+                "stopword_phrase": lambda: s.search(
+                    PhraseQuery.build("text", [hi, "t000001"], slop=0),
+                    10).collect(),
+                "bool_must": lambda: s.search(
+                    BooleanQuery.build(
+                        [TermQuery("text", hi), TermQuery("text", mid)],
+                        [], [], []), 10).collect(),
+                "dismax": lambda: s.search(
+                    DisjunctionMaxQuery(
+                        [TermQuery("text", hi), TermQuery("text", mid)],
+                        0.3), 10).collect(),
+                "blockmax": lambda: s.search_blockmax(
+                    [hi, mid, lo], 10).collect(),
+                "span_near": lambda: s.search(
+                    SpanNearQuery([SpanTermQuery("text", hi),
+                                   SpanTermQuery("text", "t000001")],
+                                  slop=3, in_order=True), 10).collect(),
+            }
+
+        def run_suite(s, prefix):
+            for name, fn in make_suite(s).items():
+                # one pathological query must not void a multi-hour run:
+                # record the failure and keep benchmarking the rest
+                try:
+                    fn()  # warm-up
+                    # search() memoizes built plans; re-collecting the
+                    # cached DataFrame would reuse materialized shuffle
+                    # stages and time only the final merge (same honesty
+                    # rule as bench.py)
+                    s._plan_cache.clear()
+                    t0 = time.time()
+                    fn()
+                    stages[f"{prefix}{name}"] = round(time.time() - t0, 2)
+                except Exception as exc:  # noqa: BLE001
+                    stages[f"{prefix}{name}"] = -1.0
+                    out.setdefault("errors", {})[prefix + name] = \
+                        repr(exc)[:300]
+
+        run_suite(searcher, "q_")
 
         # ---- 4. maintenance: delete ~2% + merge to quiescence + re-query
         from rucene_spark.merge import (
@@ -219,6 +227,15 @@ def main() -> None:
         t0 = time.time()
         s2.search(TermQuery("text", hi), 10).collect()
         stages["q_term_topk_after_merge"] = round(time.time() - t0, 2)
+        # BENCH1M_POSTMERGE_SUITE=1 re-times EVERY query family on the
+        # merged layout — the dataset that quantifies what reaching
+        # policy quiescence (BENCH1M_MERGES high → few large segments)
+        # buys back in per-query fixed cost vs the build's N_PARTS
+        # segments. The cap is re-raised because merged dfs are
+        # unchanged; tombstones were folded by the merges.
+        if os.environ.get("BENCH1M_POSTMERGE_SUITE") == "1":
+            s2.verify_candidate_cap = max(2_000_000, 2 * DOCS)
+            run_suite(s2, "pm_")
 
         # ---- 5. IVF at n_cells=256 over 200k vectors
         from rucene_spark.ann import ivf_build, ivf_search
