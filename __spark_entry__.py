@@ -201,6 +201,28 @@ def q_bool_filter_topk(spark, sf_dir):
     return _topk_out(s.search(q, 10))
 
 
+def q_cached_filter_topk(spark, sf_dir):
+    """Query-cache serving path (query_cache.rs:416-456): the same
+    filtered boolean as ``bool_filter_topk`` served through an
+    ``LRUQueryCache``-equipped searcher — first run populates the
+    persisted (seg, doc) filter set, second run is a cache HIT (the
+    filter subtree replaced by a block-manager-local scan).  The gate
+    returns the hit-path result, so the oracle value-checks that the
+    cached set is score-identical to the uncached plan."""
+    from rucene_spark.cache import AlwaysCacheQueryCachingPolicy, LRUQueryCache
+    s = _index_for(spark, sf_dir)
+    cached = IndexSearcher(
+        spark, s.index_dir, scoring="precise",
+        query_cache=LRUQueryCache(min_size=0),
+        caching_policy=AlwaysCacheQueryCachingPolicy(),
+    )
+    q = BooleanQuery.build(
+        [TermQuery("text", T_MID)], [], [RangeQuery("lang", "en", "en")], []
+    )
+    cached.search(q, 10).collect()          # populate
+    return _topk_out(cached.search(q, 10))  # serve from the cached set
+
+
 def q_phrase_topk(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     q = PhraseQuery.build("text", [PH_A, PH_B], slop=0)
@@ -676,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_must_not_topk": q_bool_must_not_topk,
         "bool_msm2_topk": q_bool_msm2_topk,
         "bool_filter_topk": q_bool_filter_topk,
+        "cached_filter_topk": q_cached_filter_topk,
         "phrase_topk": q_phrase_topk,
         "dismax_topk": q_dismax_topk,
         "serving_batch_topk": q_serving_batch_topk,
@@ -814,6 +837,9 @@ WHERE term = '{T_MID}' AND d.lang = 'en'
 ORDER BY score DESC, sc.doc_id LIMIT 10
 """
     )
+
+    # cache hit must be score-identical to the uncached filter plan
+    sqls["cached_filter_topk"] = sqls["bool_filter_topk"]
 
     # serving micro-batch = the UNION of each query's own top-k, tagged
     # with its batch index (qid); query 3 is a one-level nested group

@@ -703,10 +703,20 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str,
                  scoring: str = "lucene",
                  similarity: dict[str, tuple[float, float]] | None = None,
-                 verify_candidate_cap: int = 2_000_000):
+                 verify_candidate_cap: int = 2_000_000,
+                 query_cache=None, caching_policy=None):
         """``similarity`` maps field → (k1, b) — the SimilarityProducer
         extension point (searcher.rs:148-154: a different Similarity per
         field); unlisted fields use the BM25 defaults (1.2, 0.75).
+
+        ``query_cache`` (a :class:`rucene_spark.cache.LRUQueryCache`)
+        caches filter-context match sets as persisted (seg, doc) frames;
+        ``caching_policy`` defaults to
+        :class:`~rucene_spark.cache.UsageTrackingQueryCachingPolicy`
+        when a cache is given. Default is NO cache — the reference ships
+        with its query cache disabled too (searcher.rs:696-701 builds a
+        NoCacheQueryCache). One cache instance may be shared across
+        searchers/generations; entries are generation-keyed.
 
         ``verify_candidate_cap`` bounds the PER-DOC Python verify paths
         (sloppy phrases of 3+ positions or with repeated terms, and span
@@ -835,6 +845,30 @@ class IndexSearcher:
         self._plan_cache: dict[tuple[str, int], DataFrame] = {}
         self._tomb_cache: dict[int, np.ndarray] | None = None
         self._single_file: bool | None = None
+        # filter-set query cache (cache.py). Generation key = manifest
+        # content hash (the commit point, like SearcherManager's token)
+        # PLUS the dv-overlay file set: DV updates change RangeQuery /
+        # ExistsQuery membership via the docmeta overlay projection
+        # WITHOUT publishing a new manifest, so a manifest-only key
+        # would let a post-update searcher hit a stale cached set.
+        # Tombstones need no key bits: cached frames are pre-`_live`,
+        # every searcher anti-joins its own deletes on top.
+        self._query_cache = query_cache
+        self._caching_policy = None
+        if query_cache is not None:
+            if caching_policy is None:
+                from .cache import UsageTrackingQueryCachingPolicy
+                caching_policy = UsageTrackingQueryCachingPolicy()
+            self._caching_policy = caching_policy
+            import hashlib
+            from .build import MANIFEST
+            from .merge import DV_UPDATES
+            src = storage.read_text(os.path.join(index_dir, MANIFEST))
+            dvu = os.path.join(index_dir, DV_UPDATES)
+            if storage.is_dir(dvu):
+                src += "|" + ",".join(sorted(
+                    f for f in storage.listdir(dvu) if f.endswith(".parquet")))
+            self._gen_key = hashlib.sha256(src.encode()).hexdigest()
 
     def _coalesced(self, scan: DataFrame) -> DataFrame:
         """Pack multiple segment files into one scan task when segments
@@ -2787,6 +2821,54 @@ class IndexSearcher:
 
     def _frame(self, q: Query, boost: np.float32, needs_scores: bool,
                stats: dict | None = None) -> DataFrame:
+        if not needs_scores and self._query_cache is not None:
+            cached = self._cached_filter_frame(q, boost, stats)
+            if cached is not None:
+                return cached
+        return self._frame_impl(q, boost, needs_scores, stats)
+
+    def _cached_filter_frame(self, q: Query, boost: np.float32,
+                             stats: dict | None) -> DataFrame | None:
+        """CachingWrapperWeight::create_scorer protocol
+        (query_cache.rs:416-456), step for step: policy.on_use, index
+        size eligibility (:424-428 — the leaf min_size test, applied to
+        the whole index since our cache unit is the generation-keyed
+        persisted frame, cache.py module docstring), cache lookup
+        (:430-443, hit = constant-score set), then policy.should_cache
+        gating compute-and-store (:445-455).  Returns None to run the
+        query uncached.  Only reached with needs_scores=False — the
+        QueryCache::do_cache equivalence contract (query_cache.rs:42-54).
+
+        ConstantScore/Boost wrappers are skipped at this level (their
+        inner query is consulted on recursion instead) — the policy
+        tracks the ACTUAL query type (cache_policy.rs:93,105
+        debug-asserts the weight is never CONSTANT).  Plain-term filter
+        clauses inside BooleanQuery never reach here at all: they ride
+        the batched one-scan term path (_boolean_frame term_specs),
+        which beats a per-clause cached set — the same economics behind
+        the policy's min-frequency 20 for cheap term filters."""
+        from .cache import query_cache_key
+        if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+            return None
+        key = query_cache_key(q)
+        if key is None:
+            return None
+        qc, policy = self._query_cache, self._caching_policy
+        policy.on_use(q, key)
+        if self.doc_count < qc.min_size:
+            return None
+        hit = qc.get(self._gen_key, key)
+        if hit is None:
+            if not policy.should_cache(q, key):
+                return None
+            frame = self._frame_impl(q, np.float32(1.0), False, stats)
+            hit = qc.put(self._gen_key, key, frame.select("seg", "doc"))
+        s = float(np.float32(boost))
+        return hit.select(
+            "seg", "doc", F.lit(s).cast(self._score_t).alias("score"))
+
+    def _frame_impl(self, q: Query, boost: np.float32, needs_scores: bool,
+                    stats: dict | None = None) -> DataFrame:
         if stats is None:
             stats = self._stats_for(self._collect_terms(q))
 

@@ -115,7 +115,15 @@ class SearcherManager:
             fresh.warmup()
         with self._lock:
             self._token = token
+            old = self._current
             self._current = fresh
+        # core-drop-listener analogue (query_cache.rs:396-404): when the
+        # manager owns the last reference to the old generation, its
+        # cached filter sets are unreachable — unpersist them now rather
+        # than waiting for GC to release the executor block memory.
+        qc = self._kw.get("query_cache")
+        if qc is not None and old is not None:
+            qc.purge_generations({fresh._gen_key})
         return True
 
     def close(self) -> None:
