@@ -23,9 +23,12 @@ postings payloads are **never grouped by term**. Each 128-doc block is
 remapped independently (delta re-encode touches only the first gap), so a
 stopword with billions of postings costs no hot shuffle key; the only
 term-keyed exchanges move metadata-sized rows (per-(term,seg) counts and
-per-segment stat partials). Output blocks are range-partitioned on
-``(term, block_id)`` — a hot term's blocks spread across many partitions
-while staying term-sorted for row-group pruning.
+per-segment stat partials). Output blocks are partitioned by DOC-RANGE
+SHARD (one self-contained file per shard, blocks cut at shard
+boundaries; ``SegmentMerger.merge``) — a hot term's blocks spread across
+every shard file while staying term-sorted within each for row-group
+pruning, and a merged segment's scan parallelism stays proportional to
+its size instead of collapsing to one task per segment.
 """
 
 from __future__ import annotations
@@ -367,9 +370,21 @@ class SegmentMerger:
     with no term-keyed payload shuffle (see module docstring).
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 shard_bytes: int = 128 << 20,
+                 max_shards: int = 64) -> None:
+        """``shard_bytes`` targets the size of each doc-range shard file
+        the merged postings are written as (see merge(): a merged
+        segment whose postings would exceed ~1.5 shards is split into
+        doc-disjoint files so collector-kernel parallelism survives
+        merging — 11 post-quiescence segments on 32 cores left 2/3 of
+        the machine idle, BENCH_10M_QUIESCE.json pm_span_near 16.2s vs
+        4.3s pre-merge). ``max_shards`` bounds the file count per
+        segment."""
         self.spark = spark
         self.index_dir = index_dir
+        self.shard_bytes = int(shard_bytes)
+        self.max_shards = int(max_shards)
 
     def merge(self, seg_ids: list[int]) -> dict:
         t0 = time.time()
@@ -454,11 +469,29 @@ class SegmentMerger:
 
         postings_run = read_seg_table(self.spark, self.index_dir,
                                       run_manifest, "postings")
-        # block_id re-key: unique + ordered by (seg, block_id) within a term
-        maxb_row = postings_run.agg(F.max("block_id")).first()
-        maxb = int(maxb_row[0] or 0) + 1
-        seg_rank = {sid: i for i, sid in enumerate(run)}
-        b_rank = sc.broadcast(seg_rank)
+        # --- doc-range shard layout for the merged postings. One file
+        # per shard, each covering a disjoint remapped-doc range with ALL
+        # of its docs' posting rows (blocks are CUT at shard boundaries
+        # in remap below), so every file independently satisfies the
+        # collector kernels' layout invariant — a doc's clause rows never
+        # split across scan partitions — while a big merged segment keeps
+        # scan parallelism ∝ its size instead of collapsing to one task
+        # (BENCH_10M_QUIESCE: 11 quiesced segments on 32 cores regressed
+        # span_near 4.3→16.2s). Shard count targets shard_bytes of
+        # postings, estimated from the run's on-disk bytes × live
+        # fraction (footer-free: one listdir per segment).
+        from .build import seg_table_paths
+        run_post_bytes = sum(
+            storage.dir_size(p) for p in seg_table_paths(
+                self.index_dir, run_manifest, "postings"))
+        run_docs_total = sum(int(seg_rows[sid]["docs"]) for sid in run)
+        live_frac = total_live / max(1, run_docs_total)
+        n_shards = int(max(1, min(
+            self.max_shards,
+            round(run_post_bytes * live_frac / max(1, self.shard_bytes)))))
+        if total_live <= 1:
+            n_shards = 1
+        docs_per_shard = -(-total_live // n_shards) if total_live else 1
         del_path = del_dir
 
         def _load_dels(cache: dict, seg: int):
@@ -579,84 +612,118 @@ class SegmentMerger:
                 k_tfs = tfs[keep]
                 k_norms = norms[keep]
                 k_dls = dls[keep]
-                k_ends = np.cumsum(kept_counts)
-                s_starts = (k_ends - kept_counts)[surv]
-                s_ends = k_ends[surv]
                 kept_s = kept_counts[surv]
+                n_kept = k_docs.size
 
-                # per-row delta re-encode (first doc absolute per row)
+                # --- split surviving rows into PIECES: cut at every doc-
+                # range shard boundary so each output block's docs live
+                # wholly inside one shard file (n_shards == 1 degenerates
+                # to the identity split: piece boundaries == row
+                # boundaries, bit-identical to the unsharded layout).
+                row_of = np.repeat(np.arange(kept_s.size), kept_s)
+                if n_shards > 1:
+                    doc_shard = k_docs // docs_per_shard
+                else:
+                    doc_shard = np.zeros(n_kept, dtype=np.int64)
+                nb = np.empty(n_kept, dtype=bool)
+                nb[0] = True
+                nb[1:] = ((row_of[1:] != row_of[:-1])
+                          | (doc_shard[1:] != doc_shard[:-1]))
+                p_starts = np.flatnonzero(nb)
+                p_counts = np.diff(np.append(p_starts, n_kept))
+                rows_n = row_of[p_starts]  # surviving-row index per piece
+                n_pieces = p_starts.size
+
+                # per-piece delta re-encode (first doc absolute per piece)
                 gaps = np.empty_like(k_docs)
                 gaps[0] = k_docs[0]
                 gaps[1:] = k_docs[1:] - k_docs[:-1]
-                gaps[s_starts] = k_docs[s_starts]
+                gaps[p_starts] = k_docs[p_starts]
 
                 pos_keep = np.repeat(keep, tfs_pos)
                 k_pos = flat_pos[pos_keep].astype(np.uint64)
                 k_tfs_pos = tfs_pos[keep]
                 if any_offs:
+                    has_o = row_has_offs[surv][rows_n]
                     offs_out = batch_pack_offsets(
                         o_starts[pos_keep], o_ends[pos_keep],
-                        k_tfs_pos, kept_s)
+                        k_tfs_pos, p_counts)
                     # bare rows packed zero-offsets above; blank them so
                     # absence stays absence (b"") in the merged segment
                     offs_out = [o if h else b"" for o, h in
-                                zip(offs_out, row_has_offs[surv])]
+                                zip(offs_out, has_o)]
                 else:
-                    offs_out = [b""] * int(surv.sum())
+                    offs_out = [b""] * n_pieces
                 if any_pays:
+                    has_p = row_has_pays[surv][rows_n]
                     pays_out = batch_pack_payloads(
-                        list(flat_pays[pos_keep]), k_tfs_pos, kept_s)
+                        list(flat_pays[pos_keep]), k_tfs_pos, p_counts)
                     pays_out = [p if h else b"" for p, h in
-                                zip(pays_out, row_has_pays[surv])]
+                                zip(pays_out, has_p)]
                 else:
-                    pays_out = [b""] * int(surv.sum())
+                    pays_out = [b""] * n_pieces
 
-                rank_arr = np.asarray(
-                    [b_rank.value[int(s)] for s in segs], dtype=np.int64)
-                new_block_id = (rank_arr * maxb
-                                + pdf["block_id"].to_numpy(np.int64))
+                # block_id re-key: the piece's FIRST REMAPPED DOC. Unique
+                # per (field, term) within the merged segment (a term's
+                # blocks are doc-disjoint) and ascending exactly with doc
+                # order — the two properties every consumer needs
+                # (_decode_seg_tds sorts blocks by block_id) — and, unlike
+                # the previous rank×max_block_id+1 keying, it does not
+                # grow with merge cascades (stays < docs-per-segment,
+                # int32-safe) and needs no max(block_id) pre-scan.
                 yield pd.DataFrame({
-                    "seg": np.full(int(surv.sum()), new_seg, dtype=np.int32),
-                    "field": pdf["field"].to_numpy()[surv],
-                    "term": pdf["term"].to_numpy()[surv],
-                    "block_id": new_block_id[surv],
-                    "num_docs": kept_s,
-                    "first_doc": k_docs[s_starts],
-                    "last_doc": k_docs[s_ends - 1],
-                    "max_tf": np.maximum.reduceat(k_tfs, s_starts),
-                    "max_norm_byte": np.maximum.reduceat(k_norms, s_starts),
-                    "min_dl": np.minimum.reduceat(k_dls, s_starts),
-                    "ttf": np.add.reduceat(k_tfs, s_starts),
+                    "seg": np.full(n_pieces, new_seg, dtype=np.int32),
+                    "field": pdf["field"].to_numpy()[surv][rows_n],
+                    "term": pdf["term"].to_numpy()[surv][rows_n],
+                    "block_id": k_docs[p_starts].astype(np.int32),
+                    "num_docs": p_counts,
+                    "first_doc": k_docs[p_starts],
+                    "last_doc": k_docs[p_starts + p_counts - 1],
+                    "max_tf": np.maximum.reduceat(k_tfs, p_starts),
+                    "max_norm_byte": np.maximum.reduceat(k_norms, p_starts),
+                    "min_dl": np.minimum.reduceat(k_dls, p_starts),
+                    "ttf": np.add.reduceat(k_tfs, p_starts),
                     "docs_bin": batch_pack_ints(
-                        gaps.astype(np.uint64), kept_s),
+                        gaps.astype(np.uint64), p_counts),
                     "tfs_bin": batch_pack_ints(
-                        k_tfs.astype(np.uint64), kept_s),
+                        k_tfs.astype(np.uint64), p_counts),
                     "norms_bin": batch_pack_ints(
-                        k_norms.astype(np.uint64), kept_s),
+                        k_norms.astype(np.uint64), p_counts),
                     "dls_bin": batch_pack_ints(
-                        k_dls.astype(np.uint64), kept_s),
+                        k_dls.astype(np.uint64), p_counts),
                     "pos_bin": batch_pack_positions(
-                        k_pos, k_tfs_pos, kept_s),
+                        k_pos, k_tfs_pos, p_counts),
                     "offs_bin": offs_out,
                     "pay_bin": pays_out,
+                    "shard": doc_shard[p_starts].astype(np.int32),
                 })
 
-        merged = postings_run.mapInPandas(remap, _BLOCK_SCHEMA_DDL)
+        merged = postings_run.mapInPandas(
+            remap, _BLOCK_SCHEMA_DDL + ", shard int")
         n_parts = max(1, len(run))
         new_dir = f"seg-{new_seg}-m{token}"
         post_path = os.path.join(self.index_dir, "postings", new_dir)
-        # Postings MUST be one file per segment: the per-segment collector
-        # kernels (search_many / exact-phrase top-k) reduce partition-
-        # locally and the searcher pins one scan FILE per partition, so a
-        # segment split across files would split a doc's clause rows
-        # across partitions and corrupt the boolean/phrase arithmetic
-        # (IndexSearcher._segs_single_file guards legacy multi-file
-        # layouts). Parallelism is per-SEGMENT by design — Lucene's model
-        # — and max_merged_segment_bytes (5 GiB default) bounds the file;
-        # the remap above stays fully parallel, only the final sorted
-        # write is single-task.
-        _write_sorted(merged, post_path, 1,
-                      ["field", "term", "block_id"])
+        # The collector kernels (search_many / phrase / span top-k) reduce
+        # partition-locally and the searcher pins one scan FILE per
+        # partition, so every postings file must hold its docs' clause
+        # rows COMPLETELY. One file per segment satisfies that trivially
+        # but caps scan parallelism at the segment count; a doc-range-
+        # sharded layout (remap cuts blocks at shard boundaries, one file
+        # per shard, each a self-contained mini-index for its doc range)
+        # satisfies it too — the manifest's doc_sharded flag tells
+        # IndexSearcher._segs_single_file the multi-file layout is safe
+        # (legacy unflagged multi-file segments still fall back to the
+        # layout-independent JVM paths). Within each shard file rows stay
+        # (field, term, block_id)-sorted for row-group term pruning.
+        if n_shards > 1:
+            (merged.repartitionByRange(n_shards, "shard")
+                   .sortWithinPartitions("shard", "field", "term",
+                                         "block_id")
+                   .drop("shard")
+                   .write.mode("overwrite").parquet(post_path))
+        else:
+            _write_sorted(merged.drop("shard"), post_path, 1,
+                          ["field", "term", "block_id"])
 
         # --- docmeta remap
         dm_field_order = [f.name for f in dm_run.schema.fields]
@@ -770,6 +837,9 @@ class SegmentMerger:
             "gen": new_gen,
             "merged_from": run,
             "deleted_docs": n_deleted,
+            # doc-disjoint multi-file postings layout (collector-safe):
+            # every file holds complete docs, cut at shard boundaries
+            "doc_sharded": bool(n_shards > 1),
             "bytes": sum(storage.dir_size(p) for p in
                          (post_path, dm_path, ss_path)),
         }

@@ -901,13 +901,24 @@ class IndexSearcher:
         postings; this memoized check (one listdir per segment, through
         the storage seam, first collector use only) makes legacy
         multi-file merged segments fall back to the layout-independent
-        JVM aggregation paths instead of returning wrong results."""
+        JVM aggregation paths instead of returning wrong results.
+
+        Segments the manifest marks ``doc_sharded`` are exempt: the
+        merger wrote them as doc-range-DISJOINT files (blocks cut at
+        shard boundaries — SegmentMerger.merge), so each file holds its
+        docs' clause rows completely and is its own valid reduce unit;
+        the kernels' per-chunk arithmetic and top-k remain exact, the
+        combine is a top-k union either way."""
         if self._single_file is None:
             from .build import seg_table_paths
+            segs = self.manifest["segments"]
+            paths = seg_table_paths(self.index_dir, self.manifest,
+                                    "postings")
             self._single_file = all(
-                sum(f.endswith(".parquet") for f in storage.listdir(p)) <= 1
-                for p in seg_table_paths(
-                    self.index_dir, self.manifest, "postings"))
+                s.get("doc_sharded")
+                or sum(f.endswith(".parquet")
+                       for f in storage.listdir(p)) <= 1
+                for s, p in zip(segs, paths))
         return self._single_file
 
     def _tomb_by_seg(self) -> dict[int, np.ndarray]:
