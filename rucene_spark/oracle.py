@@ -13,10 +13,15 @@ Faithfulness notes (all with reference citations):
   field length (doc_consumer.rs:813-821);
 * collection/term stats are global over all segments (our documented
   divergence from rucene's largest-segment shortcut, searcher.rs:306-363);
-* clause scores accumulate in float64 and cast to float32 once at the end —
-  a documented divergence from the reference's order-dependent f32
-  accumulation (disjunction_scorer.rs:24-104), required for deterministic
-  distributed execution; the Spark engine does exactly the same;
+* clause scores accumulate in float64 WITHIN a query node and cast to
+  float32 at each node boundary — every ``Scorer::score()`` in the
+  reference returns f32 (conjunction_scorer.rs:87,
+  disjunction_scorer.rs:211), so a nested boolean/dismax hands its parent
+  an f32, and the Spark engine mirrors that with a float32 score column
+  per node frame. The f64 accumulation *inside* a node is our documented
+  divergence from the reference's order-dependent f32 running sum,
+  required for deterministic distributed execution; the engine does
+  exactly the same (JVM ``sum`` over the float column is a double);
 * top-k tie-break: score desc, then (segment_id, doc_id) asc — the intended
   semantics of the reference collector (top_docs.rs:67-76 strict ``>``
   replacement; collapse_top_docs.rs:186-202).
@@ -227,14 +232,17 @@ class OracleSearcher:
             for d in all_docs:
                 vals = [s.scores[d] for s in subs if d in s.scores]
                 mx = max(vals)
-                out[d] = mx + tie * (sum(vals) - mx)
+                # f32 at the node boundary (DisjunctionMaxScorer f32)
+                out[d] = float(np.float32(mx + tie * (sum(vals) - mx)))
             return _Matches(out)
         if isinstance(q, BoostingQuery):
             pos = self._eval(q.positive, boost, needs_scores)
             neg = self._eval(q.negative, np.float32(1.0), needs_scores=False)
             nb = float(q.negative_boost)
+            # f32 at the node boundary (engine casts score*nb to float32)
             return _Matches(
-                {d: (s * nb if d in neg.scores else s) for d, s in pos.scores.items()}
+                {d: (float(np.float32(s * nb)) if d in neg.scores else s)
+                 for d, s in pos.scores.items()}
             )
         if isinstance(q, RangeQuery):
             s = float(np.float32(boost))
@@ -387,9 +395,11 @@ class OracleSearcher:
             matched = [s.scores[d] for s in shoulds if d in s.scores]
             if len(matched) < msm:
                 continue
-            total = 0.0  # f64 accumulation, cast once (module docstring)
+            total = 0.0  # f64 accumulation within the node
             for m in musts:
                 total += m.scores[d]
             total += sum(matched)
-            out[d] = total
+            # f32 at the node boundary: BooleanScorer.score() -> f32
+            # (module docstring; engine _boolean_frame casts the same way)
+            out[d] = float(np.float32(total))
         return _Matches(out)

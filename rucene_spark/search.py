@@ -114,7 +114,8 @@ def _collector_seg_reduce(doc, qid, gid, role, sc, g_role, g_nm, g_nf,
     d, g, q = doc[order], gid[order], qid[order]
     r, v = role[order], sc[order].astype(np.float64)
     nb = np.empty(len(d), dtype=bool)
-    nb[0] = True
+    if len(d):
+        nb[0] = True
     nb[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1]) | (q[1:] != q[:-1])
     starts = np.flatnonzero(nb)
     sc1 = np.add.reduceat(np.where(r <= 1, v, 0.0), starts)
@@ -154,8 +155,13 @@ def _collector_seg_reduce(doc, qid, gid, role, sc, g_role, g_nm, g_nf,
         d2, q2 = d2[o2], q2[o2]
         v2, nm2, ns2 = v2[o2], nm2[o2], ns2[o2]
         nf2, nn2 = nf2[o2], nn2[o2]
+        # d2 CAN be empty: a batch whose rows are all group clauses with
+        # no group satisfied (e.g. every should-group missed its msm)
+        # leaves no root rows and no virtual clauses (found by the
+        # merged-layout fuzz, tests/test_merged_fuzz.py)
         nb2 = np.empty(len(d2), dtype=bool)
-        nb2[0] = True
+        if len(d2):
+            nb2[0] = True
         nb2[1:] = (d2[1:] != d2[:-1]) | (q2[1:] != q2[:-1])
         st2 = np.flatnonzero(nb2)
         sc3 = np.add.reduceat(v2, st2)

@@ -197,65 +197,18 @@ def test_fuzz_random_query_trees_rank_identical(spark, corpus, built, oracle):
     phrases over real and fake bigrams, spans, nested booleans with
     msm/filters/must_nots, dismax/boost/constant/min-score) must be
     rank-identical (doc ids AND float32 score bits) to the oracle."""
-    from rucene_spark.query import PhraseQuery, SpanNearQuery, SpanTermQuery
+    from conftest import corpus_query_material, random_query_tree
 
     d, _ = built
     _, osearch = oracle
     esearch = IndexSearcher(spark, d)
 
-    # vocabulary: head/mid/tail terms from the corpus + guaranteed misses
-    toks = [t for text in corpus["text"].head(60) for t in text.split(" ")]
-    from collections import Counter
-    by_freq = [t for t, _ in Counter(toks).most_common()]
-    vocab = (by_freq[:5] + by_freq[len(by_freq) // 2:len(by_freq) // 2 + 10]
-             + by_freq[-10:] + ["zz_missing_a", "zz_missing_b"])
-    bigrams = []
-    for text in corpus["text"].head(30):
-        ts = text.split(" ")
-        for i in range(0, min(len(ts) - 1, 8)):
-            bigrams.append((ts[i], ts[i + 1]))
-
+    vocab, bigrams = corpus_query_material(corpus)
     rng = np.random.default_rng(20260816)
-
-    def rq(depth=0):
-        r = rng.random()
-        if depth >= 2 or r < 0.30:
-            return TermQuery("text", vocab[int(rng.integers(len(vocab)))])
-        if r < 0.45:
-            a, b = bigrams[int(rng.integers(len(bigrams)))]
-            terms = [a, b]
-            if rng.random() < 0.2:
-                terms.append(vocab[int(rng.integers(len(vocab)))])
-            return PhraseQuery.build("text", terms,
-                                     slop=int(rng.integers(0, 3)))
-        if r < 0.55:
-            a, b = bigrams[int(rng.integers(len(bigrams)))]
-            return SpanNearQuery(
-                [SpanTermQuery("text", a), SpanTermQuery("text", b)],
-                slop=int(rng.integers(0, 4)),
-                in_order=bool(rng.random() < 0.5))
-        if r < 0.63:
-            subs = [rq(depth + 1) for _ in range(2 + int(rng.integers(2)))]
-            return DisjunctionMaxQuery(subs, float(rng.random() * 0.5))
-        if r < 0.69:
-            return ConstantScoreQuery(rq(depth + 1), float(1 + rng.random()))
-        if r < 0.75:
-            from rucene_spark.query import BoostQuery
-            return BoostQuery(rq(depth + 1), float(0.5 + rng.random()))
-        musts = [rq(depth + 1) for _ in range(int(rng.integers(0, 3)))]
-        shoulds = [rq(depth + 1) for _ in range(int(rng.integers(0, 3)))]
-        must_nots = [rq(depth + 1) for _ in range(int(rng.integers(0, 2)))]
-        filters = [rq(depth + 1) for _ in range(int(rng.integers(0, 2)))]
-        if not (musts or shoulds or filters):
-            shoulds = [rq(depth + 1)]
-        msm = (int(rng.integers(0, len(shoulds) + 1))
-               if shoulds and not musts else 0)
-        return BooleanQuery.build(musts, shoulds, filters, must_nots,
-                                  min_should_match=msm)
 
     failures = []
     for i in range(60):
-        q = rq()
+        q = random_query_tree(rng, vocab, bigrams)
         try:
             assert_rank_identical(engine_hits(esearch, q, 10),
                                   osearch.search(q, 10), f"fuzz#{i}")
