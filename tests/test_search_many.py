@@ -234,3 +234,44 @@ def test_dismax_collector_routing(spark, idx, monkeypatch):
         monkeypatch.setenv("RUCENE_TERM_COLLECTOR", "0")
         frame = _rows(IndexSearcher(spark, idx).search(q, 10))
         assert routed == frame, repr(q)
+
+
+def test_collector_seg_reduce_all_groups_unsatisfied():
+    """Kernel-level regression (found by tests/test_merged_fuzz.py): a
+    batch whose rows are ALL group clauses with no group satisfied left
+    stage 2 with zero root rows and zero virtual clauses — the empty
+    boundary-mask build crashed with IndexError. Must return empty."""
+    import numpy as np
+
+    from rucene_spark.search import _collector_seg_reduce
+
+    # one query (qid 0): a single should-group (gid 1) that REQUIRES one
+    # must (g_nm=1), but the only row present is a should inside it
+    doc = np.array([5], dtype=np.int64)
+    qid = np.array([0], dtype=np.int64)
+    gid = np.array([1], dtype=np.int64)
+    role = np.array([1], dtype=np.int64)   # should, inside the group
+    sc = np.array([0.25], dtype=np.float64)
+    g_role = np.array([0, 1], dtype=np.int64)   # group sits as root should
+    g_nm = np.array([0, 1], dtype=np.int64)     # group needs 1 must
+    g_nf = np.zeros(2, dtype=np.int64)
+    g_ms = np.zeros(2, dtype=np.int64)
+    r_nm = np.zeros(1, dtype=np.int64)
+    r_nf = np.zeros(1, dtype=np.int64)
+    r_ms = np.ones(1, dtype=np.int64)
+    q3, d3, s3 = _collector_seg_reduce(
+        doc, qid, gid, role, sc, g_role, g_nm, g_nf, g_ms,
+        r_nm, r_nf, r_ms, None, True, np.float32, 10)
+    assert len(q3) == 0 and len(d3) == 0 and len(s3) == 0
+
+    # control: add the required must row -> the group satisfies and the
+    # doc comes back with the group's f32-rounded score
+    doc2 = np.array([5, 5], dtype=np.int64)
+    gid2 = np.array([1, 1], dtype=np.int64)
+    role2 = np.array([0, 1], dtype=np.int64)
+    sc2 = np.array([0.5, 0.25], dtype=np.float64)
+    q3, d3, s3 = _collector_seg_reduce(
+        doc2, np.zeros(2, dtype=np.int64), gid2, role2, sc2,
+        g_role, g_nm, g_nf, g_ms, r_nm, r_nf, r_ms, None, True,
+        np.float32, 10)
+    assert list(d3) == [5] and s3[0] == np.float32(0.75)
