@@ -35,8 +35,11 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
+from contextlib import nullcontext
 
 import numpy as np
 import pandas as pd
@@ -386,8 +389,25 @@ class SegmentMerger:
         self.shard_bytes = int(shard_bytes)
         self.max_shards = int(max_shards)
 
-    def merge(self, seg_ids: list[int]) -> dict:
+    def merge(self, seg_ids: list[int], *,
+              commit_lock: threading.Lock | None = None,
+              gc: bool = True) -> dict:
+        """Merge the adjacent run ``seg_ids`` into one segment.
+
+        ``commit_lock``/``gc`` are the concurrent-scheduler seam
+        (maybe_merge threads>1, the ConcurrentMergeScheduler analogue —
+        merge_scheduler.rs:141-198): disjoint merges run their data
+        phases (remap/write — the expensive part) concurrently on driver
+        threads, while the shared-state sections — tombstone resolve at
+        the start, and the manifest read-modify-write commit at the end
+        (which RELOADS the manifest so concurrent commits compose
+        instead of losing updates) — serialize on ``commit_lock``.
+        ``gc=False`` defers orphan/dead-overlay GC to the wave runner:
+        gc_index deletes everything the CURRENT manifest doesn't
+        reference, which under concurrency includes a sibling merge's
+        staged-but-uncommitted output."""
         t0 = time.time()
+        lock = commit_lock if commit_lock is not None else nullcontext()
         m = load_manifest(self.index_dir)
         key_col = m["key_col"]
         all_ids = [s["segment_id"] for s in m["segments"]]
@@ -419,41 +439,46 @@ class SegmentMerger:
         del_dir = None
         del_counts: dict[int, int] = {}
         tomb_dir_p = os.path.join(self.index_dir, TOMBSTONES)
-        tomb_files_before = (
-            [f for f in storage.listdir(tomb_dir_p) if f.endswith(".parquet")]
-            if storage.is_dir(tomb_dir_p) else [])
-        if tomb_files_before:
-            tomb = self.spark.read.parquet(tomb_dir_p)
-            if "gen" not in tomb.columns:
-                tomb = tomb.withColumn("gen", F.lit(1 << 62))
-            tomb_k = tomb.select(F.col("key").alias("_tk"),
-                                 F.col("gen").alias("_tg")).distinct()
-            # a tombstone applies only to segments committed at or before
-            # the delete (seg.gen <= tomb.gen)
-            gen_map = F.create_map(*[
-                F.lit(x) for s in run_rows
-                for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
-            hit = (
-                dm_run.join(
-                    F.broadcast(tomb_k),
-                    (F.col(key_col).cast("string") == F.col("_tk"))
-                    & (F.element_at(gen_map, F.col("seg").cast("long"))
-                       <= F.col("_tg")))
-                .select("seg", "doc").distinct()
-            )
-            del_counts = {
-                int(r["seg"]): int(r["n"])
-                for r in hit.groupBy("seg").agg(
-                    F.count("*").alias("n")).collect()
-            }
-            if del_counts:
-                del_dir = os.path.join(
-                    self.index_dir, f"tmpstage-dels-{token}")
-                hit.write.partitionBy("seg").parquet(del_dir)
-            # else: tombstones exist but none hit this run (e.g. all are
-            # gen-scoped to other segments) — no side parquet to stage
-            # (an empty partitioned write leaves a schema-less dir that
-            # cannot be read back)
+        # resolve under the scheduler lock: a concurrent sibling's commit
+        # consumes tombstone files (rename-in remaining, delete originals)
+        # — reading while that happens could hit vanished files
+        with lock:
+            tomb_files_before = (
+                [f for f in storage.listdir(tomb_dir_p)
+                 if f.endswith(".parquet")]
+                if storage.is_dir(tomb_dir_p) else [])
+            if tomb_files_before:
+                tomb = self.spark.read.parquet(tomb_dir_p)
+                if "gen" not in tomb.columns:
+                    tomb = tomb.withColumn("gen", F.lit(1 << 62))
+                tomb_k = tomb.select(F.col("key").alias("_tk"),
+                                     F.col("gen").alias("_tg")).distinct()
+                # a tombstone applies only to segments committed at or
+                # before the delete (seg.gen <= tomb.gen)
+                gen_map = F.create_map(*[
+                    F.lit(x) for s in run_rows
+                    for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
+                hit = (
+                    dm_run.join(
+                        F.broadcast(tomb_k),
+                        (F.col(key_col).cast("string") == F.col("_tk"))
+                        & (F.element_at(gen_map, F.col("seg").cast("long"))
+                           <= F.col("_tg")))
+                    .select("seg", "doc").distinct()
+                )
+                del_counts = {
+                    int(r["seg"]): int(r["n"])
+                    for r in hit.groupBy("seg").agg(
+                        F.count("*").alias("n")).collect()
+                }
+                if del_counts:
+                    del_dir = os.path.join(
+                        self.index_dir, f"tmpstage-dels-{token}")
+                    hit.write.partitionBy("seg").parquet(del_dir)
+                # else: tombstones exist but none hit this run (e.g. all
+                # are gen-scoped to other segments) — no side parquet to
+                # stage (an empty partitioned write leaves a schema-less
+                # dir that cannot be read back)
         n_deleted = int(sum(del_counts.values()))
 
         # --- per-seg doc offsets over live docs, in run order
@@ -779,137 +804,241 @@ class SegmentMerger:
             F.count("*"), F.sum("df"), F.sum("ttf")).first()
         blocks_count = new_postings.count()
 
-        # --- stage the surviving tombstones (gen-scoped consumption: a key
-        # is kept iff it can still hide a doc OUTSIDE the run — i.e. some
-        # doc in a not-merged segment with seg.gen <= tomb.gen matches it;
-        # everything it matched inside the run was physically squeezed)
-        tomb_stage = None
-        n_remaining = 0
-        if tomb_files_before:
-            tomb_all = self.spark.read.parquet(tomb_dir_p)
-            if "gen" not in tomb_all.columns:
-                tomb_all = tomb_all.withColumn("gen", F.lit(1 << 62))
-            outside_rows = [s for s in m["segments"]
-                            if s["segment_id"] not in run]
-            if outside_rows:
-                dm_out = read_seg_table(
-                    self.spark, self.index_dir,
-                    {"segments": outside_rows}, "docmeta")
-                gen_map_out = F.create_map(*[
-                    F.lit(x) for s in outside_rows
-                    for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
-                live = dm_out.select(
-                    F.col(key_col).cast("string").alias("_k"),
-                    F.element_at(gen_map_out,
-                                 F.col("seg").cast("long")).alias("_sg"))
-                remaining = tomb_all.join(
-                    live,
-                    (F.col("key") == F.col("_k"))
-                    & (F.col("_sg") <= F.col("gen")),
-                    "left_semi").distinct()
-            else:
-                remaining = tomb_all.limit(0)
-            n_remaining = remaining.count()
-            if n_remaining:
-                tomb_stage = os.path.join(
-                    self.index_dir, f"tmpstage-tomb-{token}")
-                remaining.write.parquet(tomb_stage)
-
-        # --- manifest swap = THE commit (crash before this leaves the old
-        # commit fully intact; orphaned staged dirs are gc'd)
+        # private reads of our own staged output — outside the lock
         keys_mm = self.spark.read.parquet(dm_path).agg(
             F.min(F.col(key_col).cast("string")),
             F.max(F.col(key_col).cast("string")),
             F.count("*")).first()
-        new_gen = int(m.get("gen_counter", 0)) + 1
-        new_row = {
-            "segment_id": new_seg,
-            "status": "merged",
-            "docs": int(keys_mm[2]),
-            "terms": int(stats_counts[0]),
-            "blocks": blocks_count,
-            "postings": int(stats_counts[1] or 0),
-            "ttf": int(stats_counts[2] or 0),
-            "build_secs": time.time() - t0,
-            "min_key": keys_mm[0] or "",
-            "max_key": keys_mm[1] or "",
-            "dir": new_dir,
-            "gen": new_gen,
-            "merged_from": run,
-            "deleted_docs": n_deleted,
-            # doc-disjoint multi-file postings layout (collector-safe):
-            # every file holds complete docs, cut at shard boundaries
-            "doc_sharded": bool(n_shards > 1),
-            "bytes": sum(storage.dir_size(p) for p in
-                         (post_path, dm_path, ss_path)),
-        }
         assert int(keys_mm[2]) == total_live, (keys_mm[2], total_live)
-        new_segments = [s for s in m["segments"] if s["segment_id"] not in run]
-        new_segments.append(new_row)
-        new_segments.sort(key=lambda s: s["segment_id"])
-        m["segments"] = new_segments
-        m["gen_counter"] = new_gen
-        m["doc_count"] = int(sum(s["docs"] for s in new_segments))
-        field_stats, ts_name = write_term_stats(
-            self.spark, self.index_dir, max(1, len(new_segments) // 4), m)
-        m["field_stats"] = field_stats
-        m["term_stats_dir"] = ts_name
-        m["sum_ttf"] = field_stats.get(
-            m.get("field", "text"), {}).get("sum_ttf", 0)
-        write_manifest(self.index_dir, m)
+        new_bytes = sum(storage.dir_size(p) for p in
+                        (post_path, dm_path, ss_path))
 
-        # --- post-commit cleanup (all idempotent / crash-safe: new
-        # tombstone files land BEFORE old ones are removed — duplicates
-        # are harmless under the anti-join)
-        if tomb_stage is not None:
-            for i, f in enumerate(sorted(storage.listdir(tomb_stage))):
-                if f.endswith(".parquet"):
-                    storage.rename_file(
-                        os.path.join(tomb_stage, f),
-                        os.path.join(tomb_dir_p, f"tomb-{token}-{i}.parquet"))
-            storage.remove_dir(tomb_stage)
-        for f in tomb_files_before:
-            storage.remove_file(os.path.join(tomb_dir_p, f))
-        if del_dir is not None:
-            storage.remove_dir(del_dir)
-        # dead-overlay GC: an update with gen g applies only to segments
-        # with gen <= g; once every live segment's gen exceeds g (its
-        # values were folded into merges), the file can never apply again
-        min_live_gen = min(
-            int(s.get("gen", 0)) for s in new_segments)
-        dvu_dir = os.path.join(self.index_dir, DV_UPDATES)
-        if storage.is_dir(dvu_dir):
-            for f in list(storage.listdir(dvu_dir)):
-                p = os.path.join(dvu_dir, f)
-                if not f.endswith(".parquet"):
-                    continue
-                try:
-                    t = storage.read_parquet(p, columns=["gen"])
-                    fgen = int(t["gen"][0].as_py()) if t.num_rows else 0
-                except KeyError:
-                    continue  # legacy file without gen: keep forever
-                if fgen < min_live_gen:
-                    storage.remove_file(p)
-        gc_index(self.index_dir)
+        # --- COMMIT: tombstone consumption + manifest read-modify-write,
+        # serialized on the scheduler lock. The manifest is RELOADED here
+        # so concurrent sibling commits compose (each applies its delta to
+        # whatever the previous one wrote) instead of losing updates; the
+        # tombstone dir is RE-LISTED because a sibling's commit may have
+        # consumed/replaced files since our resolve phase. Crash before
+        # write_manifest leaves the previous commit fully intact.
+        with lock:
+            m2 = load_manifest(self.index_dir)
+            live_ids = {s["segment_id"] for s in m2["segments"]}
+            assert all(sid in live_ids for sid in run), (
+                "merge inputs vanished from the manifest (overlapping "
+                "concurrent merges?)", run, sorted(live_ids))
+
+            # stage the surviving tombstones (gen-scoped consumption: a
+            # key is kept iff it can still hide a doc OUTSIDE the run —
+            # i.e. some doc in a not-merged segment with seg.gen <=
+            # tomb.gen matches it; everything it matched inside the run
+            # was physically squeezed)
+            tomb_stage = None
+            n_remaining = 0
+            tomb_files_now = (
+                [f for f in storage.listdir(tomb_dir_p)
+                 if f.endswith(".parquet")]
+                if storage.is_dir(tomb_dir_p) else [])
+            if tomb_files_now:
+                tomb_all = self.spark.read.parquet(tomb_dir_p)
+                if "gen" not in tomb_all.columns:
+                    tomb_all = tomb_all.withColumn("gen", F.lit(1 << 62))
+                outside_rows = [s for s in m2["segments"]
+                                if s["segment_id"] not in run]
+                if outside_rows:
+                    dm_out = read_seg_table(
+                        self.spark, self.index_dir,
+                        {"segments": outside_rows}, "docmeta")
+                    gen_map_out = F.create_map(*[
+                        F.lit(x) for s in outside_rows
+                        for x in (int(s["segment_id"]),
+                                  int(s.get("gen", 0)))])
+                    live = dm_out.select(
+                        F.col(key_col).cast("string").alias("_k"),
+                        F.element_at(gen_map_out,
+                                     F.col("seg").cast("long")).alias("_sg"))
+                    remaining = tomb_all.join(
+                        live,
+                        (F.col("key") == F.col("_k"))
+                        & (F.col("_sg") <= F.col("gen")),
+                        "left_semi").distinct()
+                else:
+                    remaining = tomb_all.limit(0)
+                n_remaining = remaining.count()
+                if n_remaining:
+                    tomb_stage = os.path.join(
+                        self.index_dir, f"tmpstage-tomb-{token}")
+                    remaining.write.parquet(tomb_stage)
+
+            new_gen = int(m2.get("gen_counter", 0)) + 1
+            new_row = {
+                "segment_id": new_seg,
+                "status": "merged",
+                "docs": int(keys_mm[2]),
+                "terms": int(stats_counts[0]),
+                "blocks": blocks_count,
+                "postings": int(stats_counts[1] or 0),
+                "ttf": int(stats_counts[2] or 0),
+                "build_secs": time.time() - t0,
+                "min_key": keys_mm[0] or "",
+                "max_key": keys_mm[1] or "",
+                "dir": new_dir,
+                "gen": new_gen,
+                "merged_from": run,
+                "deleted_docs": n_deleted,
+                # doc-disjoint multi-file postings layout (collector-safe):
+                # every file holds complete docs, cut at shard boundaries
+                "doc_sharded": bool(n_shards > 1),
+                "bytes": new_bytes,
+            }
+            new_segments = [s for s in m2["segments"]
+                            if s["segment_id"] not in run]
+            new_segments.append(new_row)
+            new_segments.sort(key=lambda s: s["segment_id"])
+            m2["segments"] = new_segments
+            m2["gen_counter"] = new_gen
+            m2["doc_count"] = int(sum(s["docs"] for s in new_segments))
+            if n_deleted == 0 and m2.get("term_stats_dir"):
+                # stats-neutral merge: concatenating postings without
+                # squeezing any doc preserves every global df/ttf/sum_ttf
+                # exactly (Lucene never recomputes stats at merge either —
+                # they are per-segment sums). Skipping the global re-agg
+                # removes the dominant fixed cost of a delete-free merge
+                # cascade; m2's field_stats/term_stats_dir stay valid.
+                pass
+            else:
+                field_stats, ts_name = write_term_stats(
+                    self.spark, self.index_dir,
+                    max(1, len(new_segments) // 4), m2)
+                m2["field_stats"] = field_stats
+                m2["term_stats_dir"] = ts_name
+                m2["sum_ttf"] = field_stats.get(
+                    m2.get("field", "text"), {}).get("sum_ttf", 0)
+            write_manifest(self.index_dir, m2)
+
+            # post-commit cleanup (all idempotent / crash-safe: new
+            # tombstone files land BEFORE old ones are removed —
+            # duplicates are harmless under the anti-join)
+            if tomb_stage is not None:
+                for i, f in enumerate(sorted(storage.listdir(tomb_stage))):
+                    if f.endswith(".parquet"):
+                        storage.rename_file(
+                            os.path.join(tomb_stage, f),
+                            os.path.join(tomb_dir_p,
+                                         f"tomb-{token}-{i}.parquet"))
+                storage.remove_dir(tomb_stage)
+            for f in tomb_files_now:
+                storage.remove_file(os.path.join(tomb_dir_p, f))
+            if del_dir is not None:
+                storage.remove_dir(del_dir)
+            if gc:
+                gc_dead_overlays(self.index_dir, new_segments)
+                gc_index(self.index_dir)
         return new_row
+
+
+def gc_dead_overlays(index_dir: str, segments: list[dict]) -> None:
+    """Dead-overlay GC: an update with gen g applies only to segments
+    with gen <= g; once every live segment's gen exceeds g (its values
+    were folded into merges), the file can never apply again."""
+    if not segments:
+        return
+    min_live_gen = min(int(s.get("gen", 0)) for s in segments)
+    dvu_dir = os.path.join(index_dir, DV_UPDATES)
+    if not storage.is_dir(dvu_dir):
+        return
+    for f in list(storage.listdir(dvu_dir)):
+        p = os.path.join(dvu_dir, f)
+        if not f.endswith(".parquet"):
+            continue
+        try:
+            t = storage.read_parquet(p, columns=["gen"])
+            fgen = int(t["gen"][0].as_py()) if t.num_rows else 0
+        except KeyError:
+            continue  # legacy file without gen: keep forever
+        if fgen < min_live_gen:
+            storage.remove_file(p)
+
+
+def find_merge_wave(policy: TieredMergePolicy, segs: list[dict],
+                    max_picks: int) -> list[list[int]]:
+    """Plan up to ``max_picks`` DISJOINT merges from one manifest
+    snapshot (the set of outstanding merges a ConcurrentMergeScheduler
+    would run together). Each subsequent pick comes from the segments
+    the earlier picks left, but must still be adjacent in the ORIGINAL
+    segment order — a run that is only adjacent after removing a sibling
+    pick would interleave doc ranges, so planning stops there."""
+    order = [s["segment_id"] for s in
+             sorted(segs, key=lambda s: s["segment_id"])]
+    picks: list[list[int]] = []
+    remaining = list(segs)
+    while len(picks) < max_picks:
+        pick = policy.find_merge(remaining)
+        if not pick:
+            break
+        run = sorted(pick)
+        idxs = [order.index(x) for x in run]
+        if idxs != list(range(idxs[0], idxs[0] + len(idxs))):
+            break
+        picks.append(run)
+        picked = set(run)
+        remaining = [s for s in remaining if s["segment_id"] not in picked]
+    return picks
 
 
 def maybe_merge(spark: SparkSession, index_dir: str,
                 policy: TieredMergePolicy | None = None,
-                max_merges: int = 100) -> list[dict]:
-    """Run the tiered policy to quiescence (the ConcurrentMergeScheduler
-    loop, merge_scheduler.rs:141-198, minus the thread pool — the cluster
-    scheduler is the concurrency)."""
+                max_merges: int = 100,
+                threads: int | None = None) -> list[dict]:
+    """Run the tiered policy to quiescence — the ConcurrentMergeScheduler
+    loop (merge_scheduler.rs:141-198). ``threads`` (default
+    ``RUCENE_MERGE_THREADS``, 1) is the scheduler's max_merge_count
+    analogue: per wave, up to that many DISJOINT policy picks run their
+    data phases concurrently on driver threads (each merge's remap/write
+    is its own Spark job; the cluster schedules them side by side), with
+    the shared-state sections serialized on one commit lock and
+    orphan/dead-overlay GC deferred to the end of the wave (gc_index
+    would delete a sibling's staged-but-uncommitted output)."""
     policy = policy or TieredMergePolicy()
-    done = []
-    for _ in range(max_merges):
+    if threads is None:
+        threads = int(os.environ.get("RUCENE_MERGE_THREADS", "1"))
+    done: list[dict] = []
+    if threads <= 1:
+        for _ in range(max_merges):
+            m = load_manifest(index_dir)
+            sizes = segment_sizes(index_dir, m)
+            segs = [dict(s, bytes=sizes[s["segment_id"]])
+                    for s in m["segments"]]
+            pick = policy.find_merge(segs)
+            if not pick:
+                break
+            done.append(SegmentMerger(spark, index_dir).merge(pick))
+        return done
+
+    lock = threading.Lock()
+    while len(done) < max_merges:
         m = load_manifest(index_dir)
         sizes = segment_sizes(index_dir, m)
         segs = [dict(s, bytes=sizes[s["segment_id"]]) for s in m["segments"]]
-        pick = policy.find_merge(segs)
-        if not pick:
+        picks = find_merge_wave(policy, segs,
+                                min(threads, max_merges - len(done)))
+        if not picks:
             break
-        done.append(SegmentMerger(spark, index_dir).merge(pick))
+        with ThreadPoolExecutor(max_workers=len(picks)) as ex:
+            futs = [ex.submit(SegmentMerger(spark, index_dir).merge, p,
+                              commit_lock=lock, gc=False) for p in picks]
+            results, errors = [], []
+            for f in futs:
+                try:
+                    results.append(f.result())
+                except Exception as e:  # noqa: BLE001 - re-raised below
+                    errors.append(e)
+        done.extend(results)
+        # committed merges stand even if a sibling failed; clean up the
+        # failed sibling's orphans now that no merge is in flight
+        gc_dead_overlays(index_dir, load_manifest(index_dir)["segments"])
+        gc_index(index_dir)
+        if errors:
+            raise errors[0]
     return done
 
 
