@@ -244,6 +244,69 @@ def has_tombstones(index_dir: str) -> bool:
         f.endswith(".parquet") for f in storage.listdir(d))
 
 
+def gen_scope_expr(segments: list[dict], seg_col="seg", doc_col="doc"):
+    """Per-DOC add-generation Column for tombstone scoping — the
+    DocumentsWriterDeleteQueue sequence-number rule
+    (index_writer.rs:471) made doc-precise across compactions.
+
+    A tombstone with generation ``t`` hides a doc iff the doc was ADDED
+    at generation <= t. For an unmerged segment every doc's add-gen is
+    the segment's commit gen. A MERGED segment commits with a fresh gen
+    (required so already-folded DV overlays no longer project onto it),
+    but its CONTENT predates that commit — each source segment's live
+    docs occupy one contiguous remapped doc-id range, so the manifest
+    row carries ``gen_ranges`` ``[[start_doc, add_gen], ...]`` (sorted
+    by start) and the add-gen survives any merge cascade as pure
+    metadata: no docmeta schema change, no extra I/O. Without this, a
+    delete issued while a merge is in flight would stop applying to its
+    victims the moment the merge commits (merged gen > tombstone gen).
+    Re-adds stay protected: a re-added doc's range keeps its (higher)
+    delta-segment gen, so older tombstones still cannot touch it."""
+    ranged = [s for s in segments if s.get("gen_ranges")]
+    plain = [s for s in segments if not s.get("gen_ranges")]
+    expr = None
+    if plain:
+        gmap = F.create_map(*[
+            F.lit(x) for s in plain
+            for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
+        expr = F.element_at(gmap, F.col(seg_col).cast("long"))
+    else:
+        expr = F.lit(None).cast("long")
+    for s in ranged:
+        ranges = s["gen_ranges"]
+        e = F.lit(int(ranges[0][1])).cast("long")
+        for start, g in ranges[1:]:
+            # built ascending: the outermost when checks the LARGEST
+            # start first, so the containing range wins
+            e = F.when(F.col(doc_col) >= int(start),
+                       F.lit(int(g)).cast("long")).otherwise(e)
+        expr = F.when(F.col(seg_col).cast("long")
+                      == int(s["segment_id"]), e).otherwise(expr)
+    return expr
+
+
+def _compose_gen_ranges(run: list[int], seg_rows: dict, offsets: dict,
+                        dels_before: dict) -> list[list[int]]:
+    """gen_ranges for a merged segment: each source segment contributes
+    its own ranges (or one whole-segment range at its commit gen),
+    boundaries remapped through the delete squeeze
+    (new = offset[seg] + start - #deleted docs below start)."""
+    out: list[list[int]] = []
+    for sid in run:
+        src = (seg_rows[sid].get("gen_ranges")
+               or [[0, int(seg_rows[sid].get("gen", 0))]])
+        for start, g in src:
+            ns = offsets[sid] + int(start) - dels_before.get(
+                (sid, int(start)), 0)
+            if out and out[-1][0] == ns:
+                out[-1][1] = int(g)   # previous range squeezed empty
+            elif out and out[-1][1] == int(g):
+                continue              # adjacent equal gens coalesce
+            else:
+                out.append([int(ns), int(g)])
+    return out or [[0, 0]]
+
+
 # ---------------------------------------------------------------------------
 # TieredMergePolicy (merge_policy.rs:414-673, adjacency-constrained)
 # ---------------------------------------------------------------------------
@@ -453,17 +516,14 @@ class SegmentMerger:
                     tomb = tomb.withColumn("gen", F.lit(1 << 62))
                 tomb_k = tomb.select(F.col("key").alias("_tk"),
                                      F.col("gen").alias("_tg")).distinct()
-                # a tombstone applies only to segments committed at or
-                # before the delete (seg.gen <= tomb.gen)
-                gen_map = F.create_map(*[
-                    F.lit(x) for s in run_rows
-                    for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
+                # a tombstone applies only to docs ADDED at or before
+                # the delete (doc add-gen <= tomb.gen, per-doc across
+                # merged segments via gen_ranges)
                 hit = (
                     dm_run.join(
                         F.broadcast(tomb_k),
                         (F.col(key_col).cast("string") == F.col("_tk"))
-                        & (F.element_at(gen_map, F.col("seg").cast("long"))
-                           <= F.col("_tg")))
+                        & (gen_scope_expr(run_rows) <= F.col("_tg")))
                     .select("seg", "doc").distinct()
                 )
                 del_counts = {
@@ -488,6 +548,28 @@ class SegmentMerger:
             offsets[sid] = base
             base += int(seg_rows[sid]["docs"]) - del_counts.get(sid, 0)
         total_live = base
+
+        # --- per-doc add-gen ranges for the merged segment (see
+        # gen_scope_expr). Remapping a source range boundary through the
+        # delete squeeze needs #deleted docs below it — ONE tiny
+        # conditional-sum agg over the staged dels parquet (boundaries
+        # are few; dels may be 10^8 rows and never leave the executors).
+        need = [(sid, int(start))
+                for sid in run if sid in del_counts
+                for start, _ in (seg_rows[sid].get("gen_ranges") or [])
+                if int(start) > 0]
+        dels_before: dict[tuple[int, int], int] = {}
+        if need and del_dir is not None:
+            dd = self.spark.read.parquet(del_dir)
+            aggs = [F.sum(F.when((F.col("seg") == sid)
+                                 & (F.col("doc") < start), 1)
+                          .otherwise(0)).alias(f"b{i}")
+                    for i, (sid, start) in enumerate(need)]
+            row = dd.agg(*aggs).first()
+            dels_before = {nb: int(row[f"b{i}"] or 0)
+                           for i, nb in enumerate(need)}
+        new_gen_ranges = _compose_gen_ranges(
+            run, seg_rows, offsets, dels_before)
 
         sc = self.spark.sparkContext
         b_off = sc.broadcast(offsets)
@@ -828,10 +910,13 @@ class SegmentMerger:
                 "concurrent merges?)", run, sorted(live_ids))
 
             # stage the surviving tombstones (gen-scoped consumption: a
-            # key is kept iff it can still hide a doc OUTSIDE the run —
-            # i.e. some doc in a not-merged segment with seg.gen <=
-            # tomb.gen matches it; everything it matched inside the run
-            # was physically squeezed)
+            # key is kept iff it can still hide a doc that will be LIVE
+            # after this commit — any not-merged segment, or the merged
+            # segment ITSELF with its per-doc add-gens: a delete issued
+            # between our resolve phase and this commit survives here
+            # and keeps applying to the merged segment via gen_ranges,
+            # then is physically squeezed by the next merge. Everything
+            # resolved at the start was squeezed, so its keys drop out.)
             tomb_stage = None
             n_remaining = 0
             tomb_files_now = (
@@ -842,27 +927,21 @@ class SegmentMerger:
                 tomb_all = self.spark.read.parquet(tomb_dir_p)
                 if "gen" not in tomb_all.columns:
                     tomb_all = tomb_all.withColumn("gen", F.lit(1 << 62))
-                outside_rows = [s for s in m2["segments"]
-                                if s["segment_id"] not in run]
-                if outside_rows:
-                    dm_out = read_seg_table(
-                        self.spark, self.index_dir,
-                        {"segments": outside_rows}, "docmeta")
-                    gen_map_out = F.create_map(*[
-                        F.lit(x) for s in outside_rows
-                        for x in (int(s["segment_id"]),
-                                  int(s.get("gen", 0)))])
-                    live = dm_out.select(
-                        F.col(key_col).cast("string").alias("_k"),
-                        F.element_at(gen_map_out,
-                                     F.col("seg").cast("long")).alias("_sg"))
-                    remaining = tomb_all.join(
-                        live,
-                        (F.col("key") == F.col("_k"))
-                        & (F.col("_sg") <= F.col("gen")),
-                        "left_semi").distinct()
-                else:
-                    remaining = tomb_all.limit(0)
+                post_rows = [s for s in m2["segments"]
+                             if s["segment_id"] not in run]
+                post_rows.append({"segment_id": new_seg, "dir": new_dir,
+                                  "gen_ranges": new_gen_ranges})
+                dm_post = read_seg_table(
+                    self.spark, self.index_dir,
+                    {"segments": post_rows}, "docmeta")
+                live = dm_post.select(
+                    F.col(key_col).cast("string").alias("_k"),
+                    gen_scope_expr(post_rows).alias("_sg"))
+                remaining = tomb_all.join(
+                    live,
+                    (F.col("key") == F.col("_k"))
+                    & (F.col("_sg") <= F.col("gen")),
+                    "left_semi").distinct()
                 n_remaining = remaining.count()
                 if n_remaining:
                     tomb_stage = os.path.join(
@@ -883,6 +962,9 @@ class SegmentMerger:
                 "max_key": keys_mm[1] or "",
                 "dir": new_dir,
                 "gen": new_gen,
+                # per-doc add-gens survive the merge as metadata (the
+                # fresh `gen` above scopes DV-overlay folding only)
+                "gen_ranges": new_gen_ranges,
                 "merged_from": run,
                 "deleted_docs": n_deleted,
                 # doc-disjoint multi-file postings layout (collector-safe):

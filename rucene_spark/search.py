@@ -812,10 +812,12 @@ class IndexSearcher:
         # live docs: tombstones resolved to (seg, doc) once, anti-joined onto
         # every match frame (live_docs.rs analogue; stats stay stale until
         # merge squeezes deletes out, exactly like Lucene). A tombstone
-        # applies only to segments committed at or before the delete
-        # (seg.gen <= tombstone.gen — the DocumentsWriterDeleteQueue
-        # sequence-number rule), so delete-then-reindex never hides the
-        # re-added doc.
+        # applies only to docs ADDED at or before the delete (per-doc
+        # add-gen <= tombstone.gen — the DocumentsWriterDeleteQueue
+        # sequence-number rule, doc-precise across merges via the
+        # manifest's gen_ranges), so delete-then-reindex never hides the
+        # re-added doc, and a delete racing a merge still hides its
+        # victims after the merge commits.
         self._deleted = None
         self._bcast_deleted = True
         tomb_dir = os.path.join(index_dir, "tombstones")
@@ -836,14 +838,14 @@ class IndexSearcher:
                                F.col("gen").alias("_tg")).distinct()
             if self._bcast_deleted:
                 tomb = F.broadcast(tomb)
-            gen_map = F.create_map(*[
-                F.lit(x) for s in m["segments"]
-                for x in (int(s["segment_id"]), int(s.get("gen", 0)))])
+            # per-doc add-gen scope (merge.gen_scope_expr): merged
+            # segments carry gen_ranges, so a delete issued while a
+            # merge was in flight still hides its victims afterwards
+            from .merge import gen_scope_expr
             self._deleted = self._docmeta.join(
                 tomb,
                 (F.col(self.key_col).cast("string") == F.col("_tk"))
-                & (F.element_at(gen_map, F.col("seg").cast("long"))
-                   <= F.col("_tg")),
+                & (gen_scope_expr(m["segments"]) <= F.col("_tg")),
             ).select("seg", "doc")
         self._score_t = "float" if scoring == "lucene" else "double"
         self._score_schema = _SCORE_SCHEMA if scoring == "lucene" else _SCORE_SCHEMA64
