@@ -158,16 +158,25 @@ def apply_dv_overlay(spark: SparkSession, index_dir: str, df,
                      key_col: str, seg_rows: list[dict]):
     """Project the latest APPLICABLE dv-update overlay onto a docmeta
     frame: ``coalesce(overlay, stored)`` per updated column, where an
-    update applies only to segments with ``seg.gen <= update.gen``
-    (bufferd_updates.rs del_gen scoping — same rule as tombstones).
-    Both ``seq`` and ``gen`` are stamped monotonically, so the max-seq
-    update per (key, col) is the only candidate: any older update's
-    applicable-segment set is a subset of the latest one's.
+    update applies only to docs ADDED at or before it
+    (``doc add_gen <= update.gen`` via gen_scope_expr —
+    bufferd_updates.rs del_gen scoping, the same per-doc rule as
+    tombstones). Both ``seq`` and ``gen`` are stamped monotonically, so
+    the max-seq update per (key, col) is the only candidate: any older
+    update's applicable-doc set is a subset of the latest one's.
 
     Shared by the searcher (read-time projection) and the merger (which
-    folds the overlay PHYSICALLY into the merged docmeta — the merged
-    segment's fresh gen is above every existing update's gen, so without
-    folding the stale stored value would resurface after a merge)."""
+    folds the overlay PHYSICALLY into the merged docmeta). Per-doc
+    scoping means an update issued while a merge is in flight keeps
+    applying to the merged segment (its docs' add-gens predate the
+    update) instead of silently vanishing behind the merge's fresh gen;
+    re-projecting an already-folded update is idempotent (the stored
+    value equals the overlay value) and ends when gc_dead_overlays
+    retires the file — which keys on each merged row's ``dv_fold_gen``
+    (the gen snapshot when its fold ran), NOT its commit gen, so a
+    raced, never-folded file is never collected early. A re-added key's
+    doc keeps its (higher) delta gen, so older updates cannot touch
+    it."""
     dv_dir = os.path.join(index_dir, DV_UPDATES)
     if not storage.is_dir(dv_dir):
         return df
@@ -191,11 +200,7 @@ def apply_dv_overlay(spark: SparkSession, index_dir: str, df,
           .filter(F.col("_rn") == 1).drop("_rn", "seq"))
     cols = [r["col"] for r in ov.select("col").distinct().collect()]
     dtypes = dict(df.dtypes)
-    seg_gen = F.element_at(
-        F.create_map(*[
-            F.lit(x) for s in seg_rows
-            for x in (int(s["segment_id"]), int(s.get("gen", 0)))]),
-        F.col("seg").cast("long"))
+    add_gen = gen_scope_expr(seg_rows)
     for c in sorted(cols):
         if c not in dtypes:
             raise KeyError(f"dv update for unknown column: {c}")
@@ -206,7 +211,7 @@ def apply_dv_overlay(spark: SparkSession, index_dir: str, df,
         df = (df.join(
                 F.broadcast(ovc) if bcast else ovc,
                 (F.col(key_col).cast("string") == F.col("_ovk"))
-                & (seg_gen <= F.col("_ovg")), "left")
+                & (add_gen <= F.col("_ovg")), "left")
               .withColumn(c, F.coalesce(
                   F.col("_ovv").cast(dtypes[c]), F.col(c)))
               .drop("_ovk", "_ovv", "_ovg"))
@@ -488,10 +493,13 @@ class SegmentMerger:
         dm_run = read_seg_table(self.spark, self.index_dir, run_manifest,
                                 "docmeta")
         # fold the applicable dv-update overlay PHYSICALLY into the merged
-        # docmeta: the merged segment's fresh gen is above every existing
-        # update's gen, so the overlay will no longer project onto it at
-        # read time — the values must be made durable here (Lucene merges
-        # fold .dvu generations into the merged segment the same way)
+        # docmeta — the durable copy of every update visible NOW (Lucene
+        # merges fold .dvu generations the same way). dv_fold_gen records
+        # this snapshot on the committed row: gc_dead_overlays may retire
+        # an overlay file only once every live segment's FOLD postdates it
+        # (an update racing this merge lands after this point, stays
+        # projected per-doc via gen_ranges, and folds at the next merge)
+        dv_fold_gen = int(m.get("gen_counter", 0))
         dm_run = apply_dv_overlay(self.spark, self.index_dir, dm_run,
                                   key_col, run_rows)
 
@@ -965,6 +973,7 @@ class SegmentMerger:
                 # per-doc add-gens survive the merge as metadata (the
                 # fresh `gen` above scopes DV-overlay folding only)
                 "gen_ranges": new_gen_ranges,
+                "dv_fold_gen": dv_fold_gen,
                 "merged_from": run,
                 "deleted_docs": n_deleted,
                 # doc-disjoint multi-file postings layout (collector-safe):
@@ -1019,12 +1028,19 @@ class SegmentMerger:
 
 
 def gc_dead_overlays(index_dir: str, segments: list[dict]) -> None:
-    """Dead-overlay GC: an update with gen g applies only to segments
-    with gen <= g; once every live segment's gen exceeds g (its values
-    were folded into merges), the file can never apply again."""
+    """Dead-overlay GC: an overlay file is retired once every live
+    segment's values provably contain it — for a merged segment that
+    means its FOLD ran after the file landed (``dv_fold_gen``, not the
+    commit gen: a file racing the merge lands after the fold snapshot
+    and must survive until the next merge folds it), and for a
+    never-merged segment that its docs postdate the file entirely
+    (add-gen > file gen, so the file never applied to it)."""
     if not segments:
         return
-    min_live_gen = min(int(s.get("gen", 0)) for s in segments)
+    min_live_gen = min(
+        int(s.get("dv_fold_gen", s.get("gen", 0))) if s.get("merged_from")
+        else int(s.get("gen", 0))
+        for s in segments)
     dvu_dir = os.path.join(index_dir, DV_UPDATES)
     if not storage.is_dir(dvu_dir):
         return
@@ -1126,9 +1142,12 @@ def maybe_merge(spark: SparkSession, index_dir: str,
 
 def force_merge(spark: SparkSession, index_dir: str) -> dict:
     """Merge every segment into one (IndexWriter::force_merge analogue);
-    folds all resolvable tombstones in."""
+    folds all resolvable tombstones and dv-update overlays in."""
     m = load_manifest(index_dir)
     ids = [s["segment_id"] for s in m["segments"]]
-    if len(ids) == 1 and not has_tombstones(index_dir):
+    dvu = os.path.join(index_dir, DV_UPDATES)
+    has_overlays = storage.is_dir(dvu) and any(
+        f.endswith(".parquet") for f in storage.listdir(dvu))
+    if len(ids) == 1 and not has_tombstones(index_dir) and not has_overlays:
         return m["segments"][0]
     return SegmentMerger(spark, index_dir).merge(ids)

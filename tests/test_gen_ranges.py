@@ -166,6 +166,64 @@ def test_readd_after_merge_not_hidden_by_old_tombstone(spark, corpus,
     assert victim in hits1
 
 
+class _InjectUpdateOnCommit:
+    def __init__(self, index_dir: str, col: str, updates: dict):
+        self.index_dir, self.col, self.updates = index_dir, col, updates
+        self.enters = 0
+
+    def __enter__(self):
+        from rucene_spark.merge import update_doc_values
+        self.enters += 1
+        if self.enters == 2 and self.updates:   # commit section
+            update_doc_values(self.index_dir, self.col, self.updates)
+            self.updates = {}
+
+    def __exit__(self, *exc):
+        return False
+
+
+def test_dv_update_racing_merge_still_applies(spark, tmp_path_factory):
+    """An update_doc_values issued between a merge's fold and its commit
+    must keep applying to the merged segment (per-doc add-gen scope),
+    survive dead-overlay GC until a later merge folds it (dv_fold_gen,
+    not the commit gen), then become durable and collectable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rucene_spark.merge import DV_UPDATES, force_merge
+    from rucene_spark.query import TermQuery
+
+    rows = [(i, f"common t{i:03d}", 100 + i) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, rank long")
+    d = str(tmp_path_factory.mktemp("dvu_race_idx"))
+    IndexWriter(spark, d, n_segments=2, key_col="doc_id",
+                partitioner="range").build(df)
+
+    m = load_manifest(d)
+    SegmentMerger(spark, d).merge(
+        [s["segment_id"] for s in m["segments"]],
+        commit_lock=_InjectUpdateOnCommit(d, "rank", {2: 777.0}))
+
+    def ranks(searcher):
+        return {r["doc_id"]: r["rank"] for r in
+                searcher.search_sorted(TermQuery("text", "common"),
+                                       [F.desc("rank")], 10).collect()}
+
+    # the raced update projects onto the merged segment per-doc, and
+    # its file survived the wave-end GC (fold predates it)
+    dvu = os.path.join(d, DV_UPDATES)
+    assert any(f.endswith(".parquet") for f in os.listdir(dvu))
+    s1 = IndexSearcher(spark, d)
+    assert ranks(s1)[2] == 777
+
+    # the next merge folds it durably; GC then retires the file
+    force_merge(spark, d)
+    assert not any(f.endswith(".parquet") for f in os.listdir(dvu))
+    s2 = IndexSearcher(spark, d)
+    assert ranks(s2)[2] == 777
+
+
 def test_concurrent_scheduler_preserves_gen_ranges(spark, corpus, tmp_index):
     """Waves of concurrent merges compose gen_ranges correctly: after
     quiescence every doc is still findable and counts are exact."""
