@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import storage
 from .analysis import tokenize_factorized_overlap
 from .bm25 import TERM_FREQ_LIMIT
-from .codec import BLOCK_SIZE, for_encode, varint_encode_sized
+from .codec import BLOCK_SIZE, batch_for_encode, varint_encode_sized
 from .smallfloat import encode_norm_value
 
 MANIFEST = "manifest.json"
@@ -278,9 +278,12 @@ def _invert_field(
         b_hi = byte_off[v_ends]
         for j in range(part_idx.size):
             out[part_idx[j]] = b"V" + raw[b_lo[j]:b_hi[j]]
-        for bi in np.flatnonzero(full):
-            s = blk_starts[bi]
-            out[bi] = b"F" + for_encode(vals[s:s + BLOCK_SIZE])
+        full_idx = np.flatnonzero(full)
+        if full_idx.size:
+            gather = (blk_starts[full_idx][:, None]
+                      + np.arange(BLOCK_SIZE)).reshape(-1)
+            for bi, enc in zip(full_idx, batch_for_encode(vals[gather])):
+                out[bi] = b"F" + enc
         return out
 
     tf_u = tf.astype(np.uint64)

@@ -44,8 +44,15 @@ def varint_encode_sized(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
-    bitlen = np.where(v == 0, 1, 64 - _clz64(v))
-    nbytes = (bitlen + 6) // 7
+    # bytes-per-value by 7-bit thresholds, early-terminated at the stream
+    # max — posting streams (gaps, tfs, positions) rarely exceed 2 bytes,
+    # so this is ~2 vectorized compares instead of a 6-pass clz
+    vmax = int(v.max())
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    t = 7
+    while t < 64 and vmax >= (1 << t):
+        nbytes += v >= np.uint64(1 << t)
+        t += 7
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     offs = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
@@ -63,18 +70,6 @@ def varint_encode(values: np.ndarray) -> bytes:
     """Encode a uint array as concatenated vints (data_output.rs vint)."""
     out, _ = varint_encode_sized(values)
     return out.tobytes()
-
-
-def _clz64(v: np.ndarray) -> np.ndarray:
-    """Count leading zeros of each uint64 (branchless binary search)."""
-    v = np.asarray(v, dtype=np.uint64)
-    bits = np.zeros(v.shape, dtype=np.int64)
-    x = v.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        big = x >= (np.uint64(1) << np.uint64(shift))
-        bits[big] += shift
-        x[big] >>= np.uint64(shift)
-    return (63 - bits).astype(np.int64)
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
@@ -114,6 +109,53 @@ def for_encode(values: np.ndarray) -> bytes:
         flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
     packed = np.packbits(flat, bitorder="little")
     return bytes([bpv]) + packed.tobytes()
+
+
+def batch_for_encode(vals: np.ndarray) -> list[bytes]:
+    """:func:`for_encode` over many FULL blocks at once — bit-identical
+    per block, but grouped by bits-per-value so every same-bpv group
+    packs in ONE ``packbits`` call: ``BLOCK_SIZE·bpv`` bits is always a
+    whole number of bytes (128 ≡ 0 mod 8), so per-block padding never
+    exists and a group's bitstream is sliceable at ``16·bpv``-byte rows.
+    ``vals`` is ``(n_blocks, BLOCK_SIZE)`` (or flat ``n_blocks·128``).
+    The segment builder emits hundreds of thousands of full blocks — the
+    per-block numpy-call overhead of the scalar path dominated there."""
+    v = np.ascontiguousarray(np.asarray(vals, dtype=np.uint64)
+                             .reshape(-1, BLOCK_SIZE))
+    n = v.shape[0]
+    out: list[bytes] = [b""] * n
+    if not n:
+        return out
+    eq = (v == v[:, :1]).all(axis=1)
+    eq_idx = np.flatnonzero(eq)
+    if eq_idx.size:
+        buf, nb = varint_encode_sized(v[eq_idx, 0])
+        raw = buf.tobytes()
+        off = np.concatenate(([0], np.cumsum(nb)))
+        hdr = bytes([ALL_VALUES_EQUAL])
+        for j in range(eq_idx.size):
+            out[eq_idx[j]] = hdr + raw[off[j]:off[j + 1]]
+    rest = np.flatnonzero(~eq)
+    if not rest.size:
+        return out
+    maxs = v[rest].max(axis=1)
+    bpv = np.asarray([max(1, int(m).bit_length()) for m in maxs],
+                     dtype=np.int64)
+    for b in np.unique(bpv):
+        idx = rest[bpv == b]
+        hdr = bytes([int(b)])
+        shifts = np.arange(int(b), dtype=np.uint64)
+        # chunk to bound the (k, 128, bpv) bit-expansion intermediate
+        step = max(1, 4_000_000 // (BLOCK_SIZE * int(b)))
+        for c in range(0, idx.size, step):
+            ci = idx[c:c + step]
+            bits = ((v[ci][:, :, None] >> shifts) & np.uint64(1)) \
+                .astype(np.uint8)
+            packed = np.packbits(bits.reshape(ci.size, -1), axis=1,
+                                 bitorder="little")
+            for j in range(ci.size):
+                out[ci[j]] = hdr + packed[j].tobytes()
+    return out
 
 
 def for_decode(buf: bytes) -> np.ndarray:
@@ -314,8 +356,8 @@ def batch_pack_ints(vals: np.ndarray, counts: np.ndarray) -> list[bytes]:
     with ONE vectorized varint pass for every partial row (the encode-side
     mirror of :func:`batch_unpack`; build.py's ``encode_stream`` is the
     same idea specialized to the segment builder's layout). Full 128-value
-    rows still FOR-encode individually (one numpy call each — the loop is
-    over blocks, not values)."""
+    rows FOR-encode through :func:`batch_for_encode` (grouped by
+    bits-per-value, one packbits call per group)."""
     counts = np.asarray(counts, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.uint64)
     n = counts.size
@@ -334,8 +376,12 @@ def batch_pack_ints(vals: np.ndarray, counts: np.ndarray) -> list[bytes]:
         byte_off = np.concatenate(([0], np.cumsum(nbytes)))
         for j in range(part.size):
             out[part[j]] = b"V" + raw[byte_off[pstarts[j]]:byte_off[pends[j]]]
-    for r in np.flatnonzero(full):
-        out[r] = b"F" + for_encode(vals[starts[r]:starts[r] + BLOCK_SIZE])
+    full_idx = np.flatnonzero(full)
+    if full_idx.size:
+        gather = (starts[full_idx][:, None]
+                  + np.arange(BLOCK_SIZE)).reshape(-1)
+        for r, enc in zip(full_idx, batch_for_encode(vals[gather])):
+            out[r] = b"F" + enc
     return out
 
 

@@ -187,3 +187,30 @@ def test_batch_pack_positions_matches_per_block():
         np.concatenate(all_pos), np.concatenate(all_tfs),
         np.array(docs_per_row))
     assert got == want
+
+
+def test_batch_for_encode_bit_identical_to_scalar():
+    from rucene_spark.codec import batch_for_encode, for_encode
+
+    rng = np.random.default_rng(31)
+    blocks = [rng.integers(0, 1 << bpv, BLOCK_SIZE).astype(np.uint64)
+              | (np.uint64(1) << np.uint64(bpv - 1))  # pin the bit width
+              for bpv in range(1, 64) for _ in range(3)]
+    blocks += [np.zeros(BLOCK_SIZE, dtype=np.uint64),          # all-equal 0
+               np.full(BLOCK_SIZE, 37, dtype=np.uint64),       # all-equal
+               np.full(BLOCK_SIZE, (1 << 63) + 5, np.uint64)]  # 10-byte vint
+    arr = np.stack(blocks)
+    got = batch_for_encode(arr)
+    assert got == [for_encode(b) for b in arr]
+    # flat input and empty input
+    assert batch_for_encode(arr.reshape(-1)) == got
+    assert batch_for_encode(np.empty((0, BLOCK_SIZE), np.uint64)) == []
+
+
+def test_varint_ten_byte_values_roundtrip():
+    from rucene_spark.codec import varint_encode_sized, varint_decode
+    vals = np.array([0, 1, 127, 128, 16383, 16384, (1 << 56) - 1, 1 << 56,
+                     (1 << 63) + 12345, (1 << 64) - 1], dtype=np.uint64)
+    buf, nbytes = varint_encode_sized(vals)
+    assert nbytes[-1] == 10 and nbytes[0] == 1
+    assert (varint_decode(buf.tobytes(), len(vals)) == vals).all()
