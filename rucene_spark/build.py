@@ -196,8 +196,18 @@ def _invert_field(
         return empty, stats, lens, norm_bytes
 
     # invert: sort token stream by (term, doc, position) — terms arrive
-    # already factorized to sorted int codes (tokenize_factorized)
-    order = np.lexsort((pos, di, codes))
+    # already factorized to sorted int codes (tokenize_factorized). The
+    # tokenizers emit in (doc asc, position nondecreasing) order, so ONE
+    # stable argsort on the codes yields the full (term, doc, pos) order;
+    # synonym-mode overlap tokens are appended after the base stream
+    # (positions jump back), so the order is CHECKED, not assumed, and
+    # the 3-key lexsort remains the fallback — identical output either
+    # way (both are stable over emission order).
+    d_di = np.diff(di)
+    emission_sorted = bool((d_di >= 0).all()) and bool(
+        ((np.diff(pos) >= 0) | (d_di > 0)).all())
+    order = (np.argsort(codes, kind="stable") if emission_sorted
+             else np.lexsort((pos, di, codes)))
     t_s, d_s, p_s = codes[order], di[order], pos[order]
     # run starts of (term, doc) pairs
     new_term = np.empty(t_s.size, dtype=bool)

@@ -48,6 +48,8 @@ def varint_encode_sized(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # max — posting streams (gaps, tfs, positions) rarely exceed 2 bytes,
     # so this is ~2 vectorized compares instead of a 6-pass clz
     vmax = int(v.max())
+    if vmax < 128:  # whole stream is 1-byte vints (tfs, norm deltas, …)
+        return v.astype(np.uint8), np.ones(v.shape, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     t = 7
     while t < 64 and vmax >= (1 << t):
