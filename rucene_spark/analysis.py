@@ -181,6 +181,8 @@ def tokenize_factorized(texts, mode: str = "whitespace"):
     the reference's consecutive-position semantics
     (whitespace_tokenizer.rs:106-123).
     """
+    if mode == "standard":
+        return _tokenize_standard_arrow(texts)
     if mode != "whitespace":
         di, terms, pos = batch_tokenize(texts, mode=mode)
         codes, uniques = _factorize_sorted(terms)
@@ -298,6 +300,135 @@ def tokenize_factorized(texts, mode: str = "whitespace"):
         di = np.concatenate([di_f, np.concatenate(py_di)])
         codes = np.concatenate([codes_f, codes_c])
         pos = np.concatenate([pos_f, np.concatenate(py_pos)])
+    else:
+        di, codes, pos = di_f, codes_f, pos_f
+    return di, codes, uniques, pos
+
+
+# --- Arrow fast path for the standard analyzer mode ------------------------
+#
+# `standard_tokenize` is match-then-lower per doc; the Arrow path is
+# lower-then-split over the whole batch. The two commute for every char
+# EXCEPT the 29 below, pre-derived by exhaustive scan of U+0000..U+10FFFF
+# (re-derived and asserted in tests/test_analysis_standard_arrow.py):
+#   * word-class chars whose lower() leaves the class or expands
+#     (İ→i+U+0307; Ɓ→ɓ U+0253, ... — African-letter capitals in
+#     U+0181..U+01B7 and U+023A..U+0245 whose lowercase lives past U+024F)
+#   * out-of-class chars whose lower() joins the class (ẞ U+1E9E→ß,
+#     KELVIN/ANGSTROM U+212A/212B→k/å, Ɀ/Ɒ U+2C7E/2C7F→z-forms)
+# A doc containing any hazard char takes the Python tokenizer; everything
+# else stays in Arrow C++ end-to-end. utf8_lower (utf8proc) and
+# str.lower() agree on every other membership-relevant mapping
+# (exhaustively A/B-checked in the same test).
+_STD_HAZARD_RE = (
+    "[\\x{0130}\\x{0181}\\x{0186}\\x{0189}-\\x{018a}\\x{018f}-\\x{0190}"
+    "\\x{0193}-\\x{0194}\\x{0196}-\\x{0197}\\x{019c}-\\x{019d}\\x{019f}"
+    "\\x{01a6}\\x{01a9}\\x{01ae}\\x{01b1}-\\x{01b2}\\x{01b7}\\x{023a}"
+    "\\x{023e}\\x{0244}-\\x{0245}\\x{1e9e}\\x{212a}-\\x{212b}"
+    "\\x{2c7e}-\\x{2c7f}]"
+)
+# CJK ideographs/kana tokenize as unigrams (the second _WORD_RE branch):
+# space-pad each so the delimiter split below emits them individually
+_STD_CJK_PAD = "([\\x{3040}-\\x{30ff}\\x{3400}-\\x{9fff}\\x{f900}-\\x{faff}])"
+# delimiter = complement of both _WORD_RE branches (uppercase included:
+# harmless post-lower, and keeps the class the exact complement)
+_STD_DELIM = (
+    "[^0-9A-Za-z_\\x{00c0}-\\x{024f}\\x{0400}-\\x{04ff}"
+    "\\x{3040}-\\x{30ff}\\x{3400}-\\x{9fff}\\x{f900}-\\x{faff}]+"
+)
+# Lucene StandardTokenizer maxTokenLength default: 255 chars
+_STD_MAX_TOKEN_LEN = 255
+
+
+def _tokenize_standard_arrow(texts):
+    """Arrow-native standard-mode tokenize + factorize → ``(doc_idx,
+    codes, uniques, positions)`` (same contract as the whitespace fast
+    path). One utf8_lower + one regex replace (CJK padding) + one regex
+    split over the batch; per-token Python only for hazard-char docs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(list(texts), type=pa.string())
+    hazard = pc.match_substring_regex(arr, _STD_HAZARD_RE)
+    is_simple = pc.and_kleene(pc.is_valid(arr), pc.invert(hazard))
+    simple_np = np.asarray(is_simple.to_numpy(zero_copy_only=False),
+                           dtype=bool)
+    idx_map = np.flatnonzero(simple_np)
+
+    if idx_map.size:
+        sub = arr.filter(pa.array(simple_np))
+        low = pc.utf8_lower(sub)
+        padded = pc.replace_substring_regex(
+            low, pattern=_STD_CJK_PAD, replacement=" \\1 ")
+        splits = pc.split_pattern_regex(padded, _STD_DELIM)
+        flat = pc.list_flatten(splits)
+        parents = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False), dtype=bool)
+        flat_f = flat.filter(pa.array(keep))
+        parents_f = parents[keep].astype(np.int64)
+        denc = pc.dictionary_encode(flat_f)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        idx_f = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_arr = denc.dictionary
+        cp_lens = pc.utf8_length(dict_arr).to_numpy(zero_copy_only=False)
+        if cp_lens.size and int(cp_lens.max()) > _STD_MAX_TOKEN_LEN:
+            # 255-codepoint cap applies to the UNIQUE strings; two uniques
+            # truncating to the same prefix merge via np.unique below
+            dict_arr = pc.utf8_slice_codeunits(
+                dict_arr, 0, _STD_MAX_TOKEN_LEN)
+        dict_np = np.asarray(dict_arr.to_pandas(), dtype=object)
+    else:
+        idx_f = np.empty(0, dtype=np.int64)
+        parents_f = np.empty(0, dtype=np.int64)
+        dict_np = np.empty(0, dtype=object)
+
+    # ---- python path for hazard docs
+    py_di, py_terms, py_pos = [], [], []
+    for i in np.flatnonzero(~simple_np):
+        t = texts[i]
+        if t is None:
+            continue
+        toks = standard_tokenize(t)
+        if not toks:
+            continue
+        py_di.append(np.full(len(toks), i, dtype=np.int64))
+        py_terms.append(np.asarray(toks, dtype=object))
+        py_pos.append(np.arange(len(toks), dtype=np.int64))
+    terms_c = (np.concatenate(py_terms) if py_terms
+               else np.empty(0, dtype=object))
+
+    parts = [p for p in (dict_np, terms_c) if len(p)]
+    if not parts:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty.copy(), np.empty(0, dtype=object), empty.copy()
+    uniques = np.unique(np.concatenate(parts))
+
+    if idx_f.size:
+        codes_f = np.searchsorted(uniques, dict_np)[idx_f]
+        di_f = idx_map[parents_f]
+        # per-doc positions: rank within parent (parents ascending)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(parents_f[1:] != parents_f[:-1]) + 1))
+        counts = np.diff(np.append(starts, parents_f.size))
+        pos_f = np.arange(parents_f.size) - np.repeat(starts, counts)
+    else:
+        codes_f = np.empty(0, dtype=np.int64)
+        di_f = np.empty(0, dtype=np.int64)
+        pos_f = np.empty(0, dtype=np.int64)
+
+    if terms_c.size:
+        codes_c = np.searchsorted(uniques, terms_c)
+        di = np.concatenate([di_f, np.concatenate(py_di)])
+        codes = np.concatenate([codes_f, codes_c])
+        pos = np.concatenate([pos_f, np.concatenate(py_pos)])
+        # keep doc-ascending emission order so the invert's single-sort
+        # fast path stays eligible when hazard docs are interleaved
+        if di_f.size and di.size:
+            order = np.argsort(di, kind="stable")
+            di, codes, pos = di[order], codes[order], pos[order]
     else:
         di, codes, pos = di_f, codes_f, pos_f
     return di, codes, uniques, pos
