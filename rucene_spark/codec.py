@@ -58,6 +58,15 @@ def varint_encode_sized(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     offs = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    if vmax < (1 << 14):
+        # ≤2-byte streams (position deltas, doc gaps): direct byte-plane
+        # writes, no per-level mask/shift loop
+        two = nbytes == 2
+        lead = v & np.uint64(0x7F)
+        lead[two] |= np.uint64(0x80)
+        out[offs] = lead.astype(np.uint8)
+        out[offs[two] + 1] = (v[two] >> np.uint64(7)).astype(np.uint8)
+        return out, nbytes
     rem = v.copy()
     for i in range(int(nbytes.max())):
         mask = nbytes > i
