@@ -44,6 +44,10 @@ OUT = os.environ.get("BENCH1M_OUT", "BENCH_1M.json")
 # partition count = generation tasks = index segments; raise for >1M docs
 # so each Python worker holds ~40k docs of pandas state, not 150k+
 N_PARTS = int(os.environ.get("BENCH1M_PARTS", "64"))
+# "whitespace" (reference parity default) or "standard" (the north-star
+# StandardAnalyzer mode; punctuation-stripped lowercased tokens, so term
+# stats differ from the whitespace runs — throughput-comparable only)
+ANALYZER = os.environ.get("BENCH1M_ANALYZER", "whitespace")
 TMPFS = os.environ.get(
     "BENCH1M_TMP",
     "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
@@ -97,6 +101,7 @@ def main() -> None:
         docs = spark.read.parquet(corpus_dir)
         n_docs = docs.count()
         out["docs_actual"] = n_docs
+        out["analyzer"] = ANALYZER
 
         # ---- 2. fresh build
         from rucene_spark.build import IndexWriter
@@ -105,7 +110,7 @@ def main() -> None:
         idx = os.path.join(work, "idx")
         t0 = time.time()
         writer = IndexWriter(spark, idx, n_segments=N_PARTS, key_col="url",
-                             partitioner="hash")
+                             partitioner="hash", analyzer=ANALYZER)
         m = writer.build(docs)
         stages["build"] = round(time.time() - t0, 2)
         out["index_docs_per_sec"] = round(n_docs / stages["build"], 1)
