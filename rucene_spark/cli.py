@@ -100,6 +100,7 @@ def cmd_build(args) -> None:
     writer = IndexWriter(
         spark, args.index_dir, n_segments=args.segments,
         key_col=args.key_col, partitioner=args.partitioner,
+        analyzer=args.analyzer,
     )
     manifest = writer.build(df)
     wall = time.time() - t0
@@ -159,6 +160,10 @@ def main(argv=None) -> None:
     b.add_argument("--segments", type=int, default=32)
     b.add_argument("--key-col", default="url")
     b.add_argument("--partitioner", default="hash")
+    b.add_argument("--analyzer", default="whitespace",
+                   help="whitespace (reference parity) | standard "
+                        "(StandardAnalyzer mode) | synonym:... | "
+                        "delimited_payload[:d]")
     b.add_argument("--master", default=None)
     b.set_defaults(fn=cmd_build)
 
