@@ -260,6 +260,26 @@ def main() -> None:
             for name, fn in large_queries.items():
                 med, _ = _timed(_lfresh(fn), lreps)
                 large[f"q_{name}"] = round(med, 4)
+
+            # --- StandardAnalyzer mode (north-star tokenize stage):
+            # same corpus through the Arrow standard path — lowercase,
+            # punctuation-stripped, CJK unigrams (2% of webtext tokens
+            # are punctuation-attached, 0.5% CJK, 0.1% over-long)
+            sidx = os.path.join(work, "idx_std")
+            t0 = time.time()
+            IndexWriter(spark, sidx, n_segments=n_parts, key_col="url",
+                        analyzer="standard").build(ldocs)
+            sbuild = time.time() - t0
+            large["std_index_build"] = round(sbuild, 4)
+            large["std_index_docs_per_sec"] = round(n_large / sbuild, 2)
+            ss = IndexSearcher(spark, sidx, scoring="lucene")
+
+            def _std_term():
+                ss._plan_cache.clear()  # same stage-reuse honesty rule
+                ss.search(TermQuery("text", s1), 10).collect()
+
+            med, _ = _timed(_std_term, lreps)
+            large["q_std_term"] = round(med, 4)
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
