@@ -358,17 +358,28 @@ def _tokenize_standard_arrow(texts):
     if idx_map.size:
         sub = arr.filter(pa.array(simple_np))
         low = pc.utf8_lower(sub)
+        del sub
         padded = pc.replace_substring_regex(
             low, pattern=_STD_CJK_PAD, replacement=" \\1 ")
+        del low
         splits = pc.split_pattern_regex(padded, _STD_DELIM)
+        del padded
         flat = pc.list_flatten(splits)
         parents = pc.list_parent_indices(splits).to_numpy(
             zero_copy_only=False)
+        # drop each corpus-sized intermediate as soon as the next one
+        # exists: a 32-concurrent-worker build holds every live copy of
+        # the batch text simultaneously, and peak RSS is what OOMs a
+        # maxed-out host (observed at 10M docs / 256 segments)
+        del splits
         keep = np.asarray(pc.not_equal(flat, "").to_numpy(
             zero_copy_only=False), dtype=bool)
         flat_f = flat.filter(pa.array(keep))
+        del flat
         parents_f = parents[keep].astype(np.int64)
+        del parents, keep
         denc = pc.dictionary_encode(flat_f)
+        del flat_f
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
         idx_f = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
