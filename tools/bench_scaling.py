@@ -59,6 +59,9 @@ SEGMENTS = 64
 # level HOST-bound, not dataflow-bound (see BENCH_SCALING_EXEC_480k.json
 # for the 8-core diagnostic run). Default 2 -> 2 vs 8 concurrent tasks.
 MODE = os.environ.get("SCALE_BENCH_MODE", "threads")
+# analyzer mode for the build under test (whitespace parity default;
+# "standard" exercises the StandardAnalyzer Arrow path end-to-end)
+ANALYZER = os.environ.get("SCALE_BENCH_ANALYZER", "whitespace")
 EXEC_CORES = int(os.environ.get("SCALE_BENCH_EXEC_CORES", "2"))
 EXEC_MEM_MB = int(os.environ.get("SCALE_BENCH_EXEC_MEM_MB", "8192"))
 
@@ -170,6 +173,7 @@ def _control(corpus_path: str) -> dict:
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="rucene_scale_")
     results: dict = {"docs": DOCS, "segments": SEGMENTS, "mode": MODE,
+                     "analyzer": ANALYZER,
                      "levels": [_master(lvl) for lvl in LEVELS]}
     try:
         zpath = _zip_pkg(tmp)
@@ -196,6 +200,7 @@ def main() -> None:
                     zpath, _master(lvl), "build",
                     "--input", corpus, "--index-dir", idx,
                     "--segments", str(SEGMENTS), "--key-col", "url",
+                    "--analyzer", ANALYZER,
                 )
                 runs_by_level[lvl].append(r)
                 if rep < REPS:
