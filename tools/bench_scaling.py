@@ -139,7 +139,9 @@ def _ctl_work(_i):
 
     from rucene_spark.build import _invert_segment
     t0 = time.time()
-    p, _dm, _ss = _invert_segment(_CTL_DATA, [("text", "text")], "url", "whitespace")
+    # same analyzer as the job under test — the control is only a valid
+    # host ceiling if it runs the identical per-segment workload
+    p, _dm, _ss = _invert_segment(_CTL_DATA, [("text", "text")], "url", ANALYZER)
     d = tempfile.mkdtemp(dir=TMPFS)
     pq.write_table(pa.Table.from_pandas(p, preserve_index=False),
                    os.path.join(d, "p.parquet"))
