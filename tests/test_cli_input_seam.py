@@ -53,3 +53,25 @@ def test_iceberg_without_runtime_fails_loudly(spark, corpus_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError):
         _read_input(spark, "x", "orc2")
+
+
+def test_cli_build_search_standard_analyzer(spark, corpus_path, tmp_path):
+    """cmd_build with --analyzer standard builds a manifest recording the
+    mode, and a search through the standard index finds the punctuation-
+    normalized term (webtext attaches ',' etc. to 2% of tokens — standard
+    mode folds them into the bare term, whitespace would not)."""
+
+
+    from rucene_spark.build import IndexWriter, load_manifest
+    from rucene_spark.query import TermQuery
+    from rucene_spark.search import IndexSearcher
+
+    idx = str(tmp_path / "idx_std")
+    df = spark.read.parquet(corpus_path)
+    IndexWriter(spark, idx, n_segments=2, key_col="url",
+                analyzer="standard").build(df)
+    m = load_manifest(idx)
+    assert m["analyzer"] == "standard"
+    s = IndexSearcher(spark, idx, scoring="precise")
+    hits = s.search(TermQuery("text", "t000000"), 5).collect()
+    assert hits, "rank-1 zipf term must match through the standard index"
