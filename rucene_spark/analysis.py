@@ -202,13 +202,21 @@ def tokenize_factorized(texts, mode: str = "whitespace"):
     sub = arr.filter(pa.array(simple_np))
     if len(sub):
         splits = pc.split_pattern(sub, " ")
+        del sub
         flat = pc.list_flatten(splits)
         parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        # free each corpus-sized intermediate once its successor exists —
+        # 32 concurrent build workers hold these simultaneously and the
+        # per-worker peak is what OOMs a maxed host (BASELINE.md r4k)
+        del splits
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         keep = np.asarray(keep, dtype=bool)
         flat_f = flat.filter(pa.array(keep))
+        del flat
         parents_f = parents[keep].astype(np.int64)
+        del parents, keep
         denc = pc.dictionary_encode(flat_f)
+        del flat_f
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
         idx_f = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
