@@ -323,12 +323,58 @@ def q_range_count(spark, sf_dir):
     )
 
 
+def q_counts_all(spark, sf_dir):
+    """ONE gate for the whole TotalHitCountCollector family (round-5
+    consolidation so every gate fits the driver's 50-entry window):
+    term / match-all / 1-dim range / multi-dim range / exists counts,
+    one labeled row each. Each count exercises a distinct fast path in
+    IndexSearcher.count (search.py:1661-1737): term-stats metadata fold,
+    manifest maxDoc, BKD-style row-group pruning, multi-dim conjunction,
+    and the doc-values exists scan."""
+    from rucene_spark.query import ExistsQuery, MultiRangeQuery
+
+    s = _index_for(spark, sf_dir)
+    rows = [
+        ("term", s.count(TermQuery("text", T_HI))),
+        ("match_all", s.count(MatchAllDocsQuery())),
+        ("range", s.count(RangeQuery("n_chars", 200, 400))),
+        ("multirange", s.count(MultiRangeQuery(
+            [("n_chars", 150, 450), ("lang", "de", "en")]))),
+        ("exists", s.count(ExistsQuery("lang"))),
+    ]
+    return spark.createDataFrame(rows, "kind string, cnt long")
+
+
 def q_sort_by_field(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     rows = s.search_sorted(
         TermQuery("text", T_LO), [F.desc("n_chars")], 10
     )
     return rows.select("doc_id", "n_chars")
+
+
+def q_scored_variants_topk(spark, sf_dir):
+    """ONE gate for three scoring/collection variants (round-5 window
+    consolidation): ConstantScoreQuery (constant_score), query-string
+    per-term boosts (boost_topk), and sort-by-field collection
+    (sort_by_field) — unioned with a qid discriminator; ``val`` carries
+    the score for the scored rows and the sort key for the sorted rows."""
+    s = _index_for(spark, sf_dir)
+    const = s.search(ConstantScoreQuery(TermQuery("text", T_MID), 2.5), 10)
+    boost = s.search(
+        QueryStringQueryBuilder(
+            f"{T_HI}^0.5 {T_MID}^2", [("text", 1.0)]).build(), 10)
+    sortf = s.search_sorted(
+        TermQuery("text", T_LO), [F.desc("n_chars")], 10)
+    out = (
+        const.select(F.lit("constant").alias("qid"), "doc_id",
+                     F.round(F.col("score"), 6).alias("val"))
+        .unionAll(boost.select(F.lit("boost").alias("qid"), "doc_id",
+                               F.round(F.col("score"), 6).alias("val")))
+        .unionAll(sortf.select(F.lit("sortfield").alias("qid"), "doc_id",
+                               F.col("n_chars").cast("double").alias("val")))
+    )
+    return out
 
 
 def q_sort_missing_topk(spark, sf_dir):
@@ -435,6 +481,28 @@ def q_highlight_phrase_topk(spark, sf_dir):
     s = _index_for(spark, sf_dir)
     out = highlight_phrase(s, _docs(spark, sf_dir), [PH_A, PH_B], 10)
     return out.select("doc_id", "score", "snippet")
+
+
+def q_highlight_combined_topk(spark, sf_dir):
+    """ONE gate for both FVH highlighting modes (round-5 window
+    consolidation): multi-term best-window snippets (highlight_topk) and
+    phrase-unit snippets where the exact phrase is wrapped as one tag
+    pair (highlight_phrase_topk), unioned with a qid discriminator."""
+    from rucene_spark.highlight import highlight_phrase, highlight_query
+
+    s = _index_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    terms = highlight_query(
+        s, docs,
+        QueryStringQueryBuilder(f"{T_HI} {T_MID}", [("text", 1.0)]).build(),
+        10)
+    phrase = highlight_phrase(s, docs, [PH_A, PH_B], 10)
+    return (
+        terms.select(F.lit("terms").alias("qid"),
+                     "doc_id", "score", "snippet")
+        .unionAll(phrase.select(F.lit("phrase").alias("qid"),
+                                "doc_id", "score", "snippet"))
+    )
 
 
 def q_multirange_count(spark, sf_dir):
@@ -715,7 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "dismax_topk": q_dismax_topk,
         "serving_batch_topk": q_serving_batch_topk,
-        "range_count": q_range_count,
+        "counts_all": q_counts_all,
+        "scored_variants_topk": q_scored_variants_topk,
         "sort_missing_topk": q_sort_missing_topk,
         "early_term_sorted": q_early_term_sorted,
         "dv_update_sort": q_dv_update_sort,
@@ -729,8 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_score_topk": q_min_score_topk,
         "blockmax_topk": q_blockmax_topk,
         "boosting_topk": q_boosting_topk,
-        "highlight_phrase_topk": q_highlight_phrase_topk,
-        "multirange_count": q_multirange_count,
+        "highlight_combined_topk": q_highlight_combined_topk,
         "term_vector": q_term_vector,
         "filter_query_topk": q_filter_query_topk,
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
@@ -753,16 +821,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "tpch_q1_agg": q_tpch_q1_agg,
         "tpch_join_topk": q_tpch_join_topk,
-        # --- tail: subsumed variants, still gated by check_oracle.py ---
-        # (exists_count ⊂ the range/multirange family; moved here to keep
-        # the head-50 slot for the standard-analyzer gate)
-        "exists_count": q_exists_count,
-        "boost_topk": q_boost_topk,
-        "sort_by_field": q_sort_by_field,
-        "constant_score": q_constant_score,
-        "term_count": q_term_count,
-        "match_all_count": q_match_all_count,
-        "highlight_topk": q_highlight_topk,
+        # Round-5 consolidation (round-4 verdict #5): the 7 tail gates
+        # that lived outside the driver's 50-entry window are now
+        # STRUCTURALLY inside it — term/match_all/range/multirange/exists
+        # counts fold into `counts_all`, constant_score + boost_topk +
+        # sort_by_field fold into `scored_variants_topk`, and both
+        # highlight modes fold into `highlight_combined_topk`. The
+        # retired single-variant callables (q_term_count, q_boost_topk,
+        # q_highlight_topk, ...) remain defined above for tests and
+        # direct use; every behavior they gated is value-checked by the
+        # combined gates. Total = exactly 50 entries.
     }
 
 
@@ -1442,4 +1510,44 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
 ORDER BY sum(o.o_totalprice) DESC, c.c_custkey LIMIT 10
 """
+
+    # --- round-5 consolidated gates (verdict #5): the combined oracles
+    # are exact UNION ALLs of the retired single-variant SQLs, so the
+    # per-variant value checks are preserved verbatim, just multiplexed
+    # through a qid/kind discriminator column.
+    sqls["counts_all"] = "\nUNION ALL\n".join(
+        f"SELECT '{kind}' AS kind, cnt FROM ({sqls[key]})"
+        for kind, key in [
+            ("term", "term_count"),
+            ("match_all", "match_all_count"),
+            ("range", "range_count"),
+            ("multirange", "multirange_count"),
+            ("exists", "exists_count"),
+        ]
+    )
+    sqls["scored_variants_topk"] = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, doc_id, {val}::DOUBLE AS val "
+        f"FROM ({sqls[key]})"
+        for qid, val, key in [
+            ("constant", "score", "constant_score"),
+            ("boost", "score", "boost_topk"),
+            ("sortfield", "n_chars", "sort_by_field"),
+        ]
+    )
+    sqls["highlight_combined_topk"] = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, doc_id, score, snippet FROM ({sqls[key]})"
+        for qid, key in [
+            ("terms", "highlight_topk"),
+            ("phrase", "highlight_phrase_topk"),
+        ]
+    )
+    # Retired from the driver window (their SQL lives on inside the
+    # combined gates above); dropped here so oracle_sql() keys == the
+    # 50 queries() keys exactly.
+    for retired in (
+        "term_count", "match_all_count", "range_count", "multirange_count",
+        "exists_count", "constant_score", "boost_topk", "sort_by_field",
+        "highlight_topk", "highlight_phrase_topk",
+    ):
+        del sqls[retired]
     return sqls
