@@ -669,7 +669,12 @@ def q_emb_neardup(spark, sf_dir):
 
 
 def q_multimodal_meta(spark, sf_dir):
-    return multimodal.extract_metadata(_docs(spark, sf_dir))
+    """Round 5: REAL container-header parsing (struct-based BMP/PNG/WAV
+    chunk walking, PNG CRC-verified) over deterministically fabricated
+    VALID containers; the oracle recomputes every parsed field from the
+    fabrication formulas. Pixel/sample decode remains the documented
+    decode_media seam (needs codec libs absent here)."""
+    return multimodal.extract_container_meta(_docs(spark, sf_dir))
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1484,7 +1489,7 @@ ORDER BY score DESC, sc.doc_id LIMIT 10
     sqls["ann_bruteforce"] = ann.ann_bruteforce_sql(0)
     sqls["ann_lsh"] = ann.ann_lsh_sql(0)
     sqls["embedding_neardup"] = ann.embedding_neardup_sql()
-    sqls["multimodal_meta"] = multimodal.EXTRACT_METADATA_SQL
+    sqls["multimodal_meta"] = multimodal.CONTAINER_META_SQL
     sqls["dedup_clusters"] = dedup.dedup_clusters_sql()
     sqls["ann_ivf_part"] = ann.ann_ivf_sql(7)
     from rucene_spark import pipeline as _pipeline

@@ -2,19 +2,32 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
 typed metadata extracted by Arrow-batched pandas stages (``mapInPandas``),
-never row-at-a-time Python. The actual media decode is STUBBED — codec
-libraries are not available in this environment — behind
-:func:`decode_media`, which raises ``NotImplementedError``; the
-deterministic :func:`fake_decode` stands in so the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is real and tested.
+never row-at-a-time Python.
 
-For the correctness gate, blobs are fabricated deterministically from the
-``text`` column (UTF-8 bytes), so a DuckDB oracle can reproduce every
-extracted metadata value with string/byte functions.
+Two tiers (round-5 split per the round-4 verdict's #6):
+
+* **Container-header parsing is REAL** — :func:`parse_container` walks
+  actual BMP (BITMAPINFOHEADER), PNG (chunk walk + CRC-32 verification of
+  IHDR), and WAV (RIFF chunk walk) byte layouts with ``struct``, no codec
+  library needed. The gate fabricates *valid* containers deterministically
+  (:func:`fabricate_blob`: the PNG carries a genuine stored-block zlib
+  IDAT with a correct Adler-32, the BMP has correct 4-byte row padding,
+  the WAV a correct RIFF size chain) and the engine parses real format
+  fields back out of the real bytes; the DuckDB oracle reproduces the
+  expected values arithmetically from the same deterministic parameters.
+* **Pixel/sample decode stays a documented seam** — :func:`decode_media`
+  raises ``NotImplementedError``: resize / frame-sample / feature-extract
+  needs PIL/ffmpeg-class codecs absent from this environment. A production
+  deployment plugs them in behind the same mapInPandas contract.
+
+The legacy ``fake_decode``/``extract_metadata`` pair (UTF-8-of-text blobs)
+is kept for plumbing tests and backward compatibility.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -85,4 +98,235 @@ SELECT doc_id,
        ascii(substr(text, 1, 1))::INT AS fake_width,
        ascii(substr(text, 2, 1))::INT AS fake_height
 FROM documents ORDER BY doc_id
+"""
+
+
+# --- real container fabrication + parsing -------------------------------
+
+CONTAINER_META_SCHEMA = (
+    "doc_id long, format string, n_bytes int, width int, height int, "
+    "sample_rate int, channels int, duration_ms int"
+)
+
+
+def _fab_params(doc_id: int, n_chars: int) -> dict:
+    """Deterministic container parameters — the contract shared with the
+    DuckDB oracle (CONTAINER_META_SQL reproduces these formulas)."""
+    fmt = ("bmp", "png", "wav")[doc_id % 3]
+    return {
+        "format": fmt,
+        "width": n_chars % 61 + 1,
+        "height": doc_id % 43 + 1,
+        "sample_rate": (8000, 16000, 44100)[doc_id % 5 % 3],
+        "channels": doc_id % 2 + 1,
+        "n_samples": doc_id % 500 + 100,
+    }
+
+
+def fabricate_bmp(width: int, height: int) -> bytes:
+    """Valid 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + zeroed
+    pixel array with correct 4-byte row padding)."""
+    stride = (3 * width + 3) // 4 * 4
+    data = b"\x00" * (stride * height)
+    size = 14 + 40 + len(data)
+    file_hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835,
+        0, 0)
+    return file_hdr + info_hdr + data
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def fabricate_png(width: int, height: int) -> bytes:
+    """Valid 8-bit grayscale PNG: IHDR + one IDAT holding a genuine zlib
+    stream (stored block, correct Adler-32) of the raw scanlines
+    (filter byte 0 + ``width`` zero pixels per row) + IEND. Decodable by
+    any real PNG reader, yet byte-deterministic with no compressor in the
+    loop (a stored block bypasses compressor-version variance)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"\x00" * (height * (width + 1))
+    assert len(raw) <= 0xFFFF, "stored-block fabrication capped at 64 KiB"
+    zstream = (
+        b"\x78\x01"
+        + struct.pack("<BHH", 1, len(raw), len(raw) ^ 0xFFFF)
+        + raw
+        + struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zstream)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def fabricate_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Valid 16-bit PCM WAV: RIFF/WAVE + fmt + data (zero samples), with
+    a correct RIFF size chain."""
+    data = b"\x00" * (n_samples * channels * 2)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def fabricate_blob(doc_id: int, n_chars: int) -> bytes:
+    p = _fab_params(doc_id, n_chars)
+    if p["format"] == "bmp":
+        return fabricate_bmp(p["width"], p["height"])
+    if p["format"] == "png":
+        return fabricate_png(p["width"], p["height"])
+    return fabricate_wav(p["sample_rate"], p["channels"], p["n_samples"])
+
+
+class ContainerError(ValueError):
+    """Malformed or truncated media container."""
+
+
+def parse_container(blob: bytes) -> dict:
+    """Parse real format metadata out of BMP / PNG / WAV bytes.
+
+    Pure ``struct`` parsing — magic sniff, then the format's actual
+    header layout: BMP reads BITMAPINFOHEADER (negative height = top-down
+    normalizes to abs); PNG walks chunks to IHDR and VERIFIES its CRC-32;
+    WAV walks RIFF sub-chunks to fmt/data (word-aligned, as the spec
+    requires). Raises :class:`ContainerError` on truncation, bad magic,
+    or a failed CRC. Fields not applicable to the format are None.
+    """
+    out = {"format": None, "width": None, "height": None,
+           "sample_rate": None, "channels": None, "duration_ms": None}
+    if blob[:2] == b"BM":
+        if len(blob) < 54:
+            raise ContainerError("BMP truncated before BITMAPINFOHEADER")
+        hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+        if hdr_size < 40:
+            raise ContainerError(f"unsupported BMP header size {hdr_size}")
+        out.update(format="bmp", width=w, height=abs(h))
+        return out
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        pos = 8
+        while pos + 8 <= len(blob):
+            (ln,) = struct.unpack_from(">I", blob, pos)
+            tag = blob[pos + 4:pos + 8]
+            if pos + 12 + ln > len(blob):
+                raise ContainerError("PNG truncated mid-chunk")
+            payload = blob[pos + 8:pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
+            if tag == b"IHDR":
+                if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+                    raise ContainerError("PNG IHDR CRC mismatch")
+                w, h = struct.unpack_from(">II", payload, 0)
+                out.update(format="png", width=w, height=h)
+                return out
+            pos += 12 + ln
+        raise ContainerError("PNG has no IHDR chunk")
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        pos = 12
+        sr = ch = bits = None
+        data_len = None
+        while pos + 8 <= len(blob):
+            tag = blob[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", blob, pos + 4)
+            if tag == b"fmt ":
+                if ln < 16:
+                    raise ContainerError("WAV fmt chunk too short")
+                _, ch, sr, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", blob, pos + 8)
+            elif tag == b"data":
+                data_len = ln
+            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if sr is None or data_len is None:
+            raise ContainerError("WAV missing fmt or data chunk")
+        n_samples = data_len // (ch * (bits // 8))
+        out.update(format="wav", sample_rate=sr, channels=ch,
+                   duration_ms=n_samples * 1000 // sr)
+        return out
+    raise ContainerError(f"unrecognized container magic {blob[:4]!r}")
+
+
+def attach_container_blob(df: DataFrame) -> DataFrame:
+    """Fabricate valid media containers as the opaque payload column.
+    In production this column is the raw image/audio bytes from the lake;
+    here it is deterministic so the oracle can verify the parse."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf[["doc_id", "n_chars"]].copy()
+            pdf["blob"] = [
+                fabricate_blob(int(d), int(n))
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pdf[["doc_id", "blob"]]
+
+    return (df.select("doc_id", "n_chars")
+            .mapInPandas(fn, "doc_id long, blob binary"))
+
+
+def extract_container_meta(df: DataFrame) -> DataFrame:
+    """Real header parsing over the blob column, Arrow-batched.
+
+    This is the production shape for the metadata stage of a multimodal
+    training-data pipeline: binary in, typed struct out, one Python batch
+    per Arrow batch (never per-row UDF dispatch), partitioning preserved.
+    """
+    blobbed = attach_container_blob(df)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            metas = [parse_container(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "format": [m["format"] for m in metas],
+                    "n_bytes": [len(b) for b in pdf["blob"]],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                }
+            )
+
+    return blobbed.mapInPandas(fn, CONTAINER_META_SCHEMA).orderBy("doc_id")
+
+
+# The oracle recomputes every parsed field from the deterministic
+# fabrication parameters (_fab_params + the byte-layout size formulas:
+# BMP = 54 + stride*h; PNG = 68 + h*(w+1) [8 sig + 25 IHDR + 12+11+raw
+# IDAT + 12 IEND]; WAV = 44 + samples*channels*2).
+CONTAINER_META_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 3)::INT AS fsel,
+         (n_chars % 61 + 1)::INT AS w,
+         (doc_id % 43 + 1)::INT AS h,
+         (CASE doc_id % 5 % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               ELSE 44100 END)::INT AS sr,
+         (doc_id % 2 + 1)::INT AS ch,
+         (doc_id % 500 + 100)::INT AS ns
+  FROM documents)
+SELECT doc_id,
+       CASE fsel WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'wav' END
+         AS format,
+       (CASE fsel
+          WHEN 0 THEN 54 + ((3 * w + 3) // 4 * 4) * h
+          WHEN 1 THEN 68 + h * (w + 1)
+          ELSE 44 + ns * ch * 2 END)::INT AS n_bytes,
+       CASE WHEN fsel < 2 THEN w END AS width,
+       CASE WHEN fsel < 2 THEN h END AS height,
+       CASE WHEN fsel = 2 THEN sr END AS sample_rate,
+       CASE WHEN fsel = 2 THEN ch END AS channels,
+       CASE WHEN fsel = 2 THEN ns * 1000 // sr END AS duration_ms
+FROM p ORDER BY doc_id
 """
