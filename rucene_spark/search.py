@@ -1024,6 +1024,9 @@ class IndexSearcher:
         return frame.join(deleted, ["seg", "doc"], "left_anti")
 
     _PLAN_CACHE_MAX = 1024
+    # clause-table literal-inline cap for _batch_term_frame (above it, the
+    # broadcast-join form with its one materialization job wins)
+    _CL_LITERAL_MAX = 128
 
     def search(self, query: Query, k: int = 10) -> DataFrame:
         """Top-k by (score desc, seg asc, doc asc) joined back to doc keys.
@@ -3154,10 +3157,59 @@ class IndexSearcher:
         decoded = scan.mapInPandas(
             fn, f"seg int, doc long, kid int, tff {num_t}, denom {num_t}")
 
-        cl_df = self.spark.createDataFrame(
-            cl_rows,
-            f"kid int, _ct string, _q int, _g int, _r int, _w {num_t},"
-            " _scored boolean")
+        # clause-table attach.  Small tables (every interactive query, and
+        # serving micro-batches up to ~100 clauses) inline as a LITERAL
+        # array expression indexed by kid — pure whole-stage-codegen
+        # projection, no extra Spark job.  createDataFrame(local rows)
+        # parallelizes through an RDD, so the previous broadcast-join form
+        # cost one defaultParallelism-task materialization job PER frame
+        # (round-4 sf0.1 regression: querystring builds two frames = two
+        # extra 32-task jobs, +0.5s fixed).  Above the cap the join form
+        # wins (a 1000-query batch amortizes one job; a literal array that
+        # big would bloat the plan), so it remains the fallback.
+        if len(cl_rows) <= self._CL_LITERAL_MAX:
+            per_kid: list[list] = [[] for _ in _keys]
+            for row in cl_rows:
+                per_kid[row[0]].append(row)
+
+            def _cl_struct(row):
+                # one SQL literal per clause — the whole nested array
+                # below ships as ONE expression string (a single py4j
+                # round-trip; per-clause F.struct/F.lit calls measurably
+                # dominated plan-build time).  repr(float) round-trips
+                # exactly through DOUBLE, and the terminal cast restores
+                # the f32 the join form carried.
+                _kid, ct, qi, gi, ri, w, sc = row
+                ct_sql = "'" + str(ct).replace("'", "''") + "'"
+                return (f"named_struct('_ct',{ct_sql},'_q',{int(qi)},"
+                        f"'_g',{int(gi)},'_r',{int(ri)},"
+                        f"'_w',CAST({float(w)!r} AS {num_t}),"
+                        f"'_scored',{'true' if sc else 'false'})")
+
+            arr_sql = "array(" + ",".join(
+                "array(" + ",".join(_cl_struct(r) for r in rows_k) + ")"
+                for rows_k in per_kid) + ")"
+            cl = F.element_at(F.expr(arr_sql), F.col("kid") + F.lit(1))
+            if all(len(rows_k) == 1 for rows_k in per_kid):
+                base = decoded.select(
+                    "seg", "doc", "tff", "denom", cl[0].alias("_cl"))
+            else:
+                base = decoded.select(
+                    "seg", "doc", "tff", "denom",
+                    F.explode(cl).alias("_cl"))
+            w_c, sc_c = F.col("_cl._w"), F.col("_cl._scored")
+            tag_cols = [F.col("_cl._ct").alias("_ct"),
+                        F.col("_cl._q").alias("_q"),
+                        F.col("_cl._g").alias("_g"),
+                        F.col("_cl._r").alias("_r")]
+        else:
+            cl_df = self.spark.createDataFrame(
+                cl_rows,
+                f"kid int, _ct string, _q int, _g int, _r int, _w {num_t},"
+                " _scored boolean")
+            base = decoded.join(F.broadcast(cl_df), "kid")
+            w_c, sc_c = F.col("_w"), F.col("_scored")
+            tag_cols = ["_ct", "_q", "_g", "_r"]
         # f32/f64 score in the row-at-a-time op order, inside codegen.
         # Spark widens float arithmetic to double, so the f32 path casts
         # back to float after EVERY op: double-rounding a single +,*,/ of
@@ -3165,17 +3217,17 @@ class IndexSearcher:
         # precision, so each step is bit-identical to a native f32 op
         # (asserted by test_engine_parity).
         if lucene:
-            num = (F.col("_w") * F.col("tff")).cast("float")
+            num = (w_c * F.col("tff")).cast("float")
             den = (F.col("tff") + F.col("denom")).cast("float")
             expr = (num / den).cast("float")
         else:
-            expr = (F.col("_w") * F.col("tff")) / F.col("denom")
-        score = F.when(F.col("_scored"), expr).otherwise(
+            expr = (w_c * F.col("tff")) / F.col("denom")
+        score = F.when(sc_c, expr).otherwise(
             F.lit(0.0).cast(num_t)).alias("score")
         cols = ["seg", "doc", score]
         if with_tag:
-            cols += ["_ct", "_q", "_g", "_r"]
-        return decoded.join(F.broadcast(cl_df), "kid").select(*cols)
+            cols += tag_cols
+        return base.select(*cols)
 
     def _positions_rows(self, field: str, uniq_terms: list[str],
                         ti_of: dict) -> DataFrame:
