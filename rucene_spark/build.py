@@ -58,6 +58,21 @@ from .smallfloat import encode_norm_value
 
 MANIFEST = "manifest.json"
 
+#: bigram ("common grams") channel constants — hot adjacent term pairs are
+#: indexed as extra postings under ``<field>#2`` with term ``a\x1eb`` and
+#: position = first-token position, so exact phrases over high-df terms
+#: (stopwords under StandardAnalyzer normalization) conjunct over the tiny
+#: pair lists instead of the corpus-sized single-term lists.  The reference
+#: has no analogue (phrase_query.rs bails only via two-phase match_cost);
+#: Lucene's CommonGramsFilter is the public pattern.  Pure acceleration:
+#: rank/score identity vs the position-verify paths is test-asserted
+#: (tests/test_bigrams.py).
+BIGRAM_SEP = "\x1e"
+BIGRAM_SUFFIX = "#2"
+BIGRAM_DEFAULT_FRAC = 0.05
+_BIGRAM_SAMPLE_DOCS = 200_000
+_BIGRAM_ANALYZERS = ("whitespace", "standard")
+
 _MANIFEST_ROW_SCHEMA = (
     "segment_id long, status string, docs long, terms long, blocks long, "
     "postings long, ttf long, build_secs double, min_key string, "
@@ -91,6 +106,7 @@ _POSTINGS_PA_SCHEMA = pa.schema(
 def _invert_segment(
     pdf: pd.DataFrame, fields: list, key_col: str, analyzer: str,
     index_offsets: bool = False, field_options: dict | None = None,
+    bigram_hot: dict[str, frozenset] | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Pure-numpy inversion of one segment → (postings, docmeta, segstats).
 
@@ -114,15 +130,22 @@ def _invert_segment(
     # deterministic field order (sorted) keeps the postings file sorted by
     # (field, term) for parquet row-group pruning
     for fname, col in sorted(fields):
-        postings_f, stats_f, lens, norm_bytes = _invert_field(
+        postings_f, stats_f, lens, norm_bytes, pair_out = _invert_field(
             pdf[col].tolist(), n_docs, fname, analyzer, index_offsets,
-            (field_options or {}).get(fname, "positions"))
+            (field_options or {}).get(fname, "positions"),
+            (bigram_hot or {}).get(fname))
         suffix = "" if fname == field_names[0] else f"_{fname}"
         docmeta[f"doc_len{suffix}"] = lens
         docmeta[f"norm_byte{suffix}"] = norm_bytes
         if len(postings_f):
             post_parts.append(postings_f)
             stat_parts.append(stats_f)
+        if pair_out is not None:
+            # pair channel rides immediately after its base field; the
+            # "#2" suffix byte-sorts between "<fname>" and any other
+            # field name, keeping the file's (field, term) grouping
+            post_parts.append(pair_out[0])
+            stat_parts.append(pair_out[1])
 
     if not post_parts:
         empty = pd.DataFrame({f.name: [] for f in _POSTINGS_PA_SCHEMA})
@@ -136,10 +159,185 @@ def _invert_segment(
     return postings, docmeta, segstats
 
 
+def _encode_block_stream(vals: np.ndarray, n_blocks: int, full: np.ndarray,
+                         block_of_run: np.ndarray, num_docs: np.ndarray,
+                         blk_starts: np.ndarray) -> list[bytes]:
+    """Per-block bytes: FOR for full 128-blocks, batched varint tail
+    for partials (same bytes as per-block pack_ints)."""
+    out: list[bytes] = [b""] * n_blocks
+    run_is_part = ~full[block_of_run]
+    buf, nbytes = varint_encode_sized(vals[run_is_part])
+    part_idx = np.flatnonzero(~full)
+    part_counts = num_docs[part_idx]
+    v_ends = np.cumsum(part_counts)
+    v_starts = v_ends - part_counts
+    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+    raw = buf.tobytes()
+    b_lo = byte_off[v_starts]
+    b_hi = byte_off[v_ends]
+    for j in range(part_idx.size):
+        out[part_idx[j]] = b"V" + raw[b_lo[j]:b_hi[j]]
+    full_idx = np.flatnonzero(full)
+    if full_idx.size:
+        gather = (blk_starts[full_idx][:, None]
+                  + np.arange(BLOCK_SIZE)).reshape(-1)
+        for bi, enc in zip(full_idx, batch_for_encode(vals[gather])):
+            out[bi] = b"F" + enc
+    return out
+
+
+def _invert_pairs(di: np.ndarray, codes: np.ndarray, uniques, pos: np.ndarray,
+                  ordinals: np.ndarray, lens: np.ndarray,
+                  norm_bytes: np.ndarray, fname: str, hot: frozenset):
+    """Hot-pair bigram channel for one field of one segment.
+
+    Emits postings under field ``fname#2`` with term ``a\\x1eb`` for every
+    adjacent occurrence (a@p, b@p+1) where BOTH terms are in the ``hot``
+    vocabulary.  Pair occurrences are counted over the tf-capped
+    single-term position lists (ordinal < TERM_FREQ_LIMIT on both sides),
+    so ``pair tf == |capped_pos(a) ∩ (capped_pos(b) − 1)|`` — exactly the
+    phrase freq the position-verify paths compute; a phrase served from
+    this channel is freq- and score-identical.  Norms/dls are the BASE
+    field's (phrase scoring uses the field norm).  Pair tf can never
+    exceed TERM_FREQ_LIMIT (intersection of two capped lists), so the
+    position stream is complete and uncapped by construction.
+
+    Returns ``(postings, segstats)`` DataFrames or ``None`` when the
+    segment has no hot-pair occurrence.
+    """
+    if di.size < 2 or not hot:
+        return None
+    hot_u = np.fromiter((u in hot for u in uniques), dtype=bool,
+                        count=len(uniques))
+    if not hot_u.any():
+        return None
+    cap_ok = ordinals < TERM_FREQ_LIMIT
+    left = np.flatnonzero(
+        (di[1:] == di[:-1]) & (pos[1:] == pos[:-1] + 1)
+        & hot_u[codes[1:]] & hot_u[codes[:-1]]
+        & cap_ok[1:] & cap_ok[:-1])
+    if left.size == 0:
+        return None
+    n_u = np.int64(len(uniques))
+    comb = codes[left].astype(np.int64) * n_u + codes[left + 1].astype(np.int64)
+    # emission order is doc-major / position-ascending (asserted by the
+    # caller), so ONE stable sort by pair code yields (pair, doc, pos)
+    porder = np.argsort(comb, kind="stable")
+    c_s = comb[porder]
+    d_s = di[left][porder]
+    p_s = pos[left][porder]
+
+    new_pair = np.empty(c_s.size, dtype=bool)
+    new_pair[0] = True
+    new_pair[1:] = c_s[1:] != c_s[:-1]
+    new_doc = np.empty(c_s.size, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = new_pair[1:] | (d_s[1:] != d_s[:-1])
+    run_starts = np.flatnonzero(new_doc)
+    run_ends = np.append(run_starts[1:], c_s.size)
+    tf = (run_ends - run_starts).astype(np.int64)  # ≤ TERM_FREQ_LIMIT
+
+    run_pair = c_s[run_starts]
+    run_doc = d_s[run_starts]
+    run_norm = norm_bytes[run_doc]
+    run_dl = lens[run_doc]
+
+    pair_starts = np.flatnonzero(new_pair[run_starts])
+    pair_ends = np.append(pair_starts[1:], run_starts.size)
+    runs_per_pair = pair_ends - pair_starts
+
+    n_runs = run_starts.size
+    idx_in_pair = np.arange(n_runs) - np.repeat(pair_starts, runs_per_pair)
+    is_blk_start = (idx_in_pair % BLOCK_SIZE) == 0
+    blk_starts = np.flatnonzero(is_blk_start)
+    blk_ends = np.append(blk_starts[1:], n_runs)
+    n_blocks = blk_starts.size
+    num_docs = (blk_ends - blk_starts).astype(np.int64)
+    full = num_docs == BLOCK_SIZE
+    block_of_run = np.cumsum(is_blk_start) - 1
+
+    uniq_arr = np.asarray(uniques, dtype=object)
+    pair_term_of = {}
+
+    def _pt(c: np.int64) -> str:
+        s = pair_term_of.get(c)
+        if s is None:
+            s = (uniq_arr[int(c) // int(n_u)] + BIGRAM_SEP
+                 + uniq_arr[int(c) % int(n_u)])
+            pair_term_of[c] = s
+        return s
+
+    blk_terms = np.asarray([_pt(c) for c in run_pair[blk_starts]],
+                           dtype=object)
+    blk_block_id = (idx_in_pair[blk_starts] // BLOCK_SIZE).astype(np.int64)
+
+    gaps = np.empty(n_runs, dtype=np.uint64)
+    gaps[0] = run_doc[0]
+    gaps[1:] = (run_doc[1:] - run_doc[:-1]).astype(np.uint64)
+    gaps[blk_starts] = run_doc[blk_starts].astype(np.uint64)
+
+    def enc(vals: np.ndarray) -> list[bytes]:
+        return _encode_block_stream(vals, n_blocks, full, block_of_run,
+                                    num_docs, blk_starts)
+
+    # per-doc position delta chains (first absolute), like the base field
+    pos_u = p_s.astype(np.uint64)
+    pdeltas = np.empty(pos_u.size, dtype=np.uint64)
+    pdeltas[0] = pos_u[0]
+    pdeltas[1:] = pos_u[1:] - pos_u[:-1]
+    run_pos_starts = np.cumsum(tf) - tf
+    pdeltas[run_pos_starts] = pos_u[run_pos_starts]
+    pbuf, pnbytes = varint_encode_sized(pdeltas)
+    praw = pbuf.tobytes()
+    pos_offsets = np.append(run_pos_starts, pos_u.size)
+    pbyte_off = np.concatenate(([0], np.cumsum(pnbytes)))
+    p_lo = pbyte_off[pos_offsets[blk_starts]]
+    p_hi = pbyte_off[pos_offsets[blk_ends]]
+    pos_bins = [praw[p_lo[b]:p_hi[b]] for b in range(n_blocks)]
+
+    pfield = fname + BIGRAM_SUFFIX
+    postings = pd.DataFrame(
+        {
+            "field": pfield,
+            "term": blk_terms,
+            "block_id": blk_block_id,
+            "num_docs": num_docs,
+            "first_doc": run_doc[blk_starts],
+            "last_doc": run_doc[blk_ends - 1],
+            "max_tf": np.maximum.reduceat(tf, blk_starts),
+            "max_norm_byte": np.maximum.reduceat(run_norm, blk_starts),
+            "min_dl": np.minimum.reduceat(run_dl, blk_starts),
+            "ttf": np.add.reduceat(tf, blk_starts),
+            "docs_bin": enc(gaps),
+            "tfs_bin": enc(tf.astype(np.uint64)),
+            "norms_bin": enc(run_norm.astype(np.uint64)),
+            "dls_bin": enc(run_dl.astype(np.uint64)),
+            "pos_bin": pos_bins,
+            "offs_bin": [b""] * n_blocks,
+            "pay_bin": [b""] * n_blocks,
+        }
+    )
+    segstats = pd.DataFrame(
+        {
+            "field": pfield,
+            "term": np.asarray([_pt(c) for c in run_pair[pair_starts]],
+                               dtype=object),
+            "df": runs_per_pair.astype(np.int64),
+            "ttf": np.add.reduceat(tf, pair_starts).astype(np.int64),
+            "max_tf": np.maximum.reduceat(tf, pair_starts).astype(np.int64),
+            "max_norm_byte": np.maximum.reduceat(
+                run_norm, pair_starts).astype(np.int64),
+            "min_dl": np.minimum.reduceat(run_dl, pair_starts).astype(np.int64),
+        }
+    )
+    return postings, segstats
+
+
 def _invert_field(
     texts: list, n_docs: int, fname: str, analyzer: str,
     index_offsets: bool = False, index_options: str = "positions",
-) -> tuple[pd.DataFrame, pd.DataFrame, np.ndarray, np.ndarray]:
+    bigram_hot: frozenset | None = None,
+):
     """Invert one field of one segment → (postings, segstats, lens, norms).
 
     Overlap tokens (pos_incr = 0, e.g. synonym expansions) index and match
@@ -193,7 +391,7 @@ def _invert_field(
             {"field": [], "term": [], "df": [], "ttf": [], "max_tf": [],
              "max_norm_byte": [], "min_dl": []}
         )
-        return empty, stats, lens, norm_bytes
+        return empty, stats, lens, norm_bytes, None
 
     # invert: sort token stream by (term, doc, position) — terms arrive
     # already factorized to sorted int codes (tokenize_factorized). The
@@ -209,6 +407,15 @@ def _invert_field(
     order = (np.argsort(codes, kind="stable") if emission_sorted
              else np.lexsort((pos, di, codes)))
     t_s, d_s, p_s = codes[order], di[order], pos[order]
+    # bigram channel eligibility: positions level, no payloads, no overlap
+    # tokens (pos_incr=0 would break stream adjacency == positional
+    # adjacency), doc-major emission (holds for the gated analyzers)
+    build_pairs = (
+        bigram_hot is not None
+        and index_options == "positions"
+        and pays is None
+        and (overlap is None or not overlap.any())
+        and emission_sorted)
     # run starts of (term, doc) pairs
     new_term = np.empty(t_s.size, dtype=bool)
     new_term[0] = True
@@ -219,6 +426,15 @@ def _invert_field(
     run_starts = np.flatnonzero(new_doc)
     run_ends = np.append(run_starts[1:], t_s.size)
     tf_raw = run_ends - run_starts
+    pair_out = None
+    if build_pairs:
+        # occurrence ordinal of every stream token within its (term, doc)
+        # run, position-ordered — the pair channel only counts adjacencies
+        # whose BOTH sides survive the tf cap, matching verify semantics
+        ordinals = np.empty(di.size, dtype=np.int64)
+        ordinals[order] = np.arange(di.size) - np.repeat(run_starts, tf_raw)
+        pair_out = _invert_pairs(di, codes, uniques, pos, ordinals,
+                                 lens, norm_bytes, fname, bigram_hot)
     tf = np.minimum(tf_raw, TERM_FREQ_LIMIT)
     if index_options == "docs":
         # DOCS level: only membership is stored — freq()==1 everywhere,
@@ -273,28 +489,8 @@ def _invert_field(
         gaps[blk_starts] = run_doc[blk_starts].astype(np.uint64)
 
     def encode_stream(vals: np.ndarray) -> list[bytes]:
-        """Per-block bytes: FOR for full 128-blocks, batched varint tail
-        for partials (same bytes as per-block pack_ints)."""
-        out: list[bytes] = [b""] * n_blocks
-        run_is_part = ~full[block_of_run]
-        buf, nbytes = varint_encode_sized(vals[run_is_part])
-        part_idx = np.flatnonzero(~full)
-        part_counts = num_docs[part_idx]
-        v_ends = np.cumsum(part_counts)
-        v_starts = v_ends - part_counts
-        byte_off = np.concatenate(([0], np.cumsum(nbytes)))
-        raw = buf.tobytes()
-        b_lo = byte_off[v_starts]
-        b_hi = byte_off[v_ends]
-        for j in range(part_idx.size):
-            out[part_idx[j]] = b"V" + raw[b_lo[j]:b_hi[j]]
-        full_idx = np.flatnonzero(full)
-        if full_idx.size:
-            gather = (blk_starts[full_idx][:, None]
-                      + np.arange(BLOCK_SIZE)).reshape(-1)
-            for bi, enc in zip(full_idx, batch_for_encode(vals[gather])):
-                out[bi] = b"F" + enc
-        return out
+        return _encode_block_stream(vals, n_blocks, full, block_of_run,
+                                    num_docs, blk_starts)
 
     tf_u = tf.astype(np.uint64)
     if index_options != "positions":
@@ -373,7 +569,7 @@ def _invert_field(
             "min_dl": np.minimum.reduceat(run_dl, term_starts).astype(np.int64),
         }
     )
-    return postings, segstats, lens, norm_bytes
+    return postings, segstats, lens, norm_bytes, pair_out
 
 
 #: commit-critical dir publish — routed through the storage seam
@@ -389,6 +585,7 @@ def _build_segment_files(
     analyzer: str,
     index_offsets: bool = False,
     field_options: dict | None = None,
+    bigram_hot: dict[str, frozenset] | None = None,
 ) -> pd.DataFrame:
     """applyInPandas body: build + persist one segment, return manifest row.
 
@@ -405,7 +602,8 @@ def _build_segment_files(
     t0 = time.time()
     pdf = pdf.drop(columns=["segment_id"])
     postings, docmeta, segstats = _invert_segment(
-        pdf, fields, key_col, analyzer, index_offsets, field_options)
+        pdf, fields, key_col, analyzer, index_offsets, field_options,
+        bigram_hot)
     # `seg` is stored IN the files (constant column, ~free under RLE): the
     # manifest — not directory discovery — decides which dirs are live,
     # which is what makes every publish a single atomic manifest swap
@@ -466,6 +664,85 @@ def _build_segment_files(
     return pd.DataFrame([row])
 
 
+_BIGRAM_DOCS_SENTINEL = "\x00docs"
+
+
+def _sample_bigram_vocab(df: DataFrame, fields: list, field_options: dict,
+                         analyzer: str, frac: float) -> dict[str, list[str]]:
+    """Estimate the hot vocabulary (df ≥ ``frac`` of docs) per field from a
+    bounded sample, using the REAL tokenizer inside mapInPandas.
+
+    Scale shape: the sample is capped at ``_BIGRAM_SAMPLE_DOCS`` docs
+    regardless of corpus size (df-fraction estimation needs only a bounded
+    sample — at 200k docs the ±error on a 5%-df term is < 0.2% absolute),
+    and the driver collect is pre-filtered to candidate-hot terms plus one
+    sentinel row, so it is metadata-bounded (≤ ~avgdl/frac rows).  The hot
+    set is frozen into the index (manifest + sidecar) at initial build;
+    delta segments reuse it, so channel completeness is a global
+    invariant the query side can rely on.
+    """
+    n = df.count()
+    samp_frac = min(1.0, _BIGRAM_SAMPLE_DOCS / max(n, 1))
+    n_expected = max(1, int(n * samp_frac))
+    out: dict[str, list[str]] = {}
+    for fname, col in fields:
+        if field_options.get(fname, "positions") != "positions":
+            continue
+        sample = (df.select(col) if samp_frac >= 1.0
+                  else df.select(col).sample(False, samp_frac, seed=7))
+        analyzer_, col_ = analyzer, col
+
+        def fn(batches):
+            for pdf in batches:
+                texts = pdf[col_].tolist()
+                di, codes, uniques, _pos, _ov = tokenize_factorized_overlap(
+                    texts, mode=analyzer_)
+                if di.size:
+                    n_u = np.int64(len(uniques))
+                    uk = np.unique(di.astype(np.int64) * n_u
+                                   + codes.astype(np.int64))
+                    uc, cnt = np.unique(uk % n_u, return_counts=True)
+                    terms = [uniques[int(i)] for i in uc]
+                else:
+                    terms, cnt = [], np.empty(0, dtype=np.int64)
+                yield pd.DataFrame(
+                    {"term": [_BIGRAM_DOCS_SENTINEL] + terms,
+                     "df": np.concatenate(([len(pdf)], cnt))})
+
+        # pre-filter at 60% of the expected threshold (sampling slack),
+        # exact-filter driver-side with the true sampled doc count
+        pre = int(frac * 0.6 * n_expected)
+        rows = (sample.mapInPandas(fn, "term string, df long")
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .filter((F.col("term") == _BIGRAM_DOCS_SENTINEL)
+                        | (F.col("df") >= pre))
+                .collect())
+        n_sampled = sum(int(r["df"]) for r in rows
+                        if r["term"] == _BIGRAM_DOCS_SENTINEL)
+        cut = frac * max(n_sampled, 1)
+        out[fname] = sorted(
+            r["term"] for r in rows
+            if r["term"] != _BIGRAM_DOCS_SENTINEL and int(r["df"]) >= cut)
+    return out
+
+
+def load_bigram_vocab(index_dir: str, manifest: dict
+                      ) -> dict[str, frozenset] | None:
+    """Hot vocabulary of a bigram-enabled index (None when disabled)."""
+    bg = manifest.get("bigrams")
+    if not bg:
+        return None
+    path = os.path.join(index_dir, "bigram_vocab", bg["dir"],
+                        "part-0.parquet")
+    tbl = storage.read_parquet(path)
+    fields = tbl.column("field").to_pylist()
+    terms = tbl.column("term").to_pylist()
+    out: dict[str, set] = {}
+    for f_, t in zip(fields, terms):
+        out.setdefault(f_, set()).add(t)
+    return {f_: frozenset(s) for f_, s in out.items()}
+
+
 class IndexWriter:
     """Builds a persistent index directory from a DataFrame of documents."""
 
@@ -482,6 +759,7 @@ class IndexWriter:
         store_cols: list[str] | None = None,
         fields: list[tuple[str, str]] | None = None,
         index_offsets: bool = False,
+        bigrams: float | bool | None = None,
     ) -> None:
         """``fields`` is the multi-field document model: a list of
         ``(field_name, source_col)`` pairs, each independently indexed with
@@ -524,6 +802,25 @@ class IndexWriter:
         self.partitioner = partitioner
         self.store_cols = store_cols
         self.index_offsets = index_offsets
+        # hot-pair bigram channel (module constants above): True → default
+        # hot-df fraction, float → that fraction, None/False → off
+        if bigrams is True:
+            bigrams = BIGRAM_DEFAULT_FRAC
+        if bigrams:
+            if analyzer not in _BIGRAM_ANALYZERS:
+                raise ValueError(
+                    f"bigrams requires analyzer in {_BIGRAM_ANALYZERS}"
+                    f" (got {analyzer!r}: overlap/payload token streams"
+                    " break positional-adjacency extraction)")
+            if not (0.0 < float(bigrams) < 1.0):
+                raise ValueError(f"bigrams fraction must be in (0, 1):"
+                                 f" {bigrams!r}")
+            for fn_, _ in self.fields:
+                if BIGRAM_SUFFIX in fn_ or BIGRAM_SEP in fn_:
+                    raise ValueError(
+                        f"field name {fn_!r} collides with the bigram"
+                        f" channel namespace ({BIGRAM_SUFFIX!r})")
+        self.bigram_frac: float | None = float(bigrams) if bigrams else None
 
     def _check_manifest_compat(self, m: dict) -> None:
         """Delta segments must agree with the existing index's analysis
@@ -599,10 +896,14 @@ class IndexWriter:
         index_dir, fields, key_col, analyzer, ioffs, fopts = (
             self.index_dir, self.fields, self.key_col, self.analyzer,
             self.index_offsets, self.field_options)
+        # delta segments inherit the index's FROZEN hot vocabulary (the
+        # pair channel must stay complete across the whole index for the
+        # query-side rewrite to be sound), regardless of writer params
+        bighot = load_bigram_vocab(self.index_dir, m)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _build_segment_files(pdf, index_dir, fields, key_col,
-                                        analyzer, ioffs, fopts)
+                                        analyzer, ioffs, fopts, bighot)
 
         rows = (src.groupBy("segment_id")
                 .applyInPandas(fn, _MANIFEST_ROW_SCHEMA).collect())
@@ -660,8 +961,40 @@ class IndexWriter:
          .write.mode("append").parquet(tomb_dir))
         return self.add_documents(df, n_segments=n_segments)
 
+    def _prepare_bigram_vocab(self, df: DataFrame) -> dict | None:
+        """Sample the hot vocabulary and persist the sidecar (resumable:
+        an already-published sidecar is reloaded, keeping retried builds
+        byte-deterministic). Returns the manifest ``bigrams`` entry."""
+        if not self.bigram_frac:
+            return None
+        vocab_dir = os.path.join(self.index_dir, "bigram_vocab", "v0")
+        if storage.exists(os.path.join(vocab_dir, "part-0.parquet")):
+            entry = {"frac": self.bigram_frac, "dir": "v0",
+                     "sep": BIGRAM_SEP, "suffix": BIGRAM_SUFFIX}
+            hot = load_bigram_vocab(
+                self.index_dir, {"bigrams": entry})
+            self._bigram_hot = hot
+            entry["n_hot"] = {f_: len(s) for f_, s in (hot or {}).items()}
+            return entry
+        vocab = _sample_bigram_vocab(
+            df, self.fields, self.field_options, self.analyzer,
+            self.bigram_frac)
+        rows_f = [f_ for f_, ts in sorted(vocab.items()) for _ in ts]
+        rows_t = [t for _, ts in sorted(vocab.items()) for t in ts]
+        _atomic_write_dir(
+            lambda d: storage.write_parquet(
+                pa.table({"field": pa.array(rows_f, pa.string()),
+                          "term": pa.array(rows_t, pa.string())}),
+                os.path.join(d, "part-0.parquet")),
+            vocab_dir)
+        self._bigram_hot = {f_: frozenset(ts) for f_, ts in vocab.items()}
+        return {"frac": self.bigram_frac, "dir": "v0", "sep": BIGRAM_SEP,
+                "suffix": BIGRAM_SUFFIX,
+                "n_hot": {f_: len(ts) for f_, ts in vocab.items()}}
+
     def build(self, df: DataFrame) -> dict:
         storage.makedirs(self.index_dir)
+        bigram_entry = self._prepare_bigram_vocab(df)
         extra = self._extra_cols(df)
         src = self._with_segment_id(
             df.select(self.key_col, *self._field_cols, *extra))
@@ -674,10 +1007,11 @@ class IndexWriter:
             self.index_offsets,
             self.field_options,
         )
+        bighot = getattr(self, "_bigram_hot", None)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _build_segment_files(pdf, index_dir, fields, key_col,
-                                        analyzer, ioffs, fopts)
+                                        analyzer, ioffs, fopts, bighot)
 
         rows = (
             src.groupBy("segment_id")
@@ -712,6 +1046,8 @@ class IndexWriter:
                                 if seg_rows else 0),
             "segments": seg_rows,
         }
+        if bigram_entry:
+            manifest["bigrams"] = bigram_entry
         field_stats, ts_name = write_term_stats(
             self.spark, self.index_dir, max(1, self.n_segments // 4), manifest)
         manifest["field_stats"] = field_stats

@@ -250,6 +250,150 @@ class _SloppyFreq:
         return True
 
 
+def sloppy_phrase_freq_nslot_flat(
+    flats: list[np.ndarray],
+    lens: list[np.ndarray],
+    offs: list[int],
+    slop: int,
+) -> np.ndarray:
+    """Vectorized :func:`sloppy_phrase_freq` for ANY number of DISTINCT
+    terms — the round-4 verdict's #2: the n≥3-slot verify previously ran
+    a per-doc Python heap walk behind ``verify_candidate_cap``.
+
+    The scalar kernel (phrase_scorer.rs:537-575) is a heap-driven chain:
+    hold the popped minimum slot, advance it, extend ``end``/shrink the
+    match window until the held slot crosses the heap top, then score the
+    phase (``1/(1+match_length)`` when within slop) and re-queue.  Every
+    candidate doc runs the SAME state machine, so the whole batch
+    advances in lockstep: per round each active doc performs exactly one
+    ``next_position`` step; all state — per-slot cursors, current
+    positions, the held slot, ``end``, the phase's match length — lives
+    in (n_docs × n_slots) arrays, and the "heap" over ≤ n_slots entries
+    is an argmin over a composite ``position*K + slot_rank`` key (rank =
+    the scalar heap's (offset, ord) tie-break).  With tf capped at 10 a
+    doc finishes in ≤ ~10·n_slots rounds.  Accumulation is float32 in
+    chain order — bit-identical to the scalar kernel (fuzz-asserted in
+    tests/test_phrase.py).  Repeated-term phrases (repeat groups,
+    phrase_scorer.rs:587-792) stay on the scalar kernel.
+
+    ``flats[s]`` holds every candidate doc's positions for slot ``s``
+    concatenated in doc order, ``lens[s][i]`` the count of doc ``i``
+    (must be ≥ 1 for every slot — candidates hold every term).
+    """
+    S = len(flats)
+    n = len(lens[0])
+    freq = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return freq
+    SENT = np.int64(2**62)
+    INF = np.int64(2**63 - 1)
+    P = []
+    for s in range(S):
+        m = int(lens[s].max())
+        M = np.full((n, m), SENT, dtype=np.int64)
+        M[np.arange(m) < lens[s][:, None]] = np.asarray(flats[s],
+                                                        dtype=np.int64)
+        M[M != SENT] -= np.int64(offs[s])
+        P.append(M)
+    len_mat = np.stack([np.asarray(x, dtype=np.int64) for x in lens], axis=1)
+
+    # slot rank = heap tie-break order (offset asc, ord asc)
+    rank = np.empty(S, dtype=np.int64)
+    rank[sorted(range(S), key=lambda s: (offs[s], s))] = np.arange(S)
+    K = np.int64(S + 1)
+
+    rows_all = np.arange(n)
+    C = np.stack([P[s][:, 0] for s in range(S)], axis=1)  # first_position
+    I = np.ones((n, S), dtype=np.int64)                   # next read index
+    end = C.max(axis=1)
+    key = C * K + rank[None, :]
+
+    # initial pop: held slot = overall heap min
+    cur = np.argmin(key, axis=1)
+    kq = key.copy()
+    kq[rows_all, cur] = INF
+    next_pos = kq.min(axis=1) // K       # heap-top POSITION (rank < K ≥ 0)
+    ml = end - C[rows_all, cur]
+    active = np.ones(n, dtype=bool)
+    one32 = np.float32(1.0)
+    slop_ = np.int64(slop)
+
+    while True:
+        act = np.flatnonzero(active)
+        if act.size == 0:
+            break
+        c_act = cur[act]
+        has = I[act, c_act] < len_mat[act, c_act]
+        # exhausted rows: score the final phase and finish
+        fin = act[~has]
+        if fin.size:
+            mlf = ml[fin]
+            hit = mlf <= slop_
+            freq[fin[hit]] = (freq[fin[hit]]
+                              + one32 / (mlf[hit].astype(np.float32) + one32)
+                              ).astype(np.float32)
+            active[fin] = False
+        adv = act[has]
+        if adv.size == 0:
+            continue
+        c_adv = cur[adv]
+        # advance_pp: read the next position of the held slot
+        newc = np.empty(adv.size, dtype=np.int64)
+        for s in range(S):
+            m_ = c_adv == s
+            if m_.any():
+                r_ = adv[m_]
+                newc[m_] = P[s][r_, I[r_, s]]
+        I[adv, c_adv] += 1
+        C[adv, c_adv] = newc
+        end[adv] = np.maximum(end[adv], newc)
+        crossed = newc > next_pos[adv]
+        # non-crossing rows: keep holding, tighten the window
+        stay = adv[~crossed]
+        if stay.size:
+            ml[stay] = np.minimum(ml[stay], end[stay]
+                                  - C[stay, cur[stay]])
+        # crossing rows: score the phase, push back, pop the new min
+        go = adv[crossed]
+        if go.size:
+            mlg = ml[go]
+            hit = mlg <= slop_
+            gh = go[hit]
+            freq[gh] = (freq[gh]
+                        + one32 / (mlg[hit].astype(np.float32) + one32)
+                        ).astype(np.float32)
+            key[go, cur[go]] = (C[go, cur[go]] * K + rank[cur[go]])
+            sub = key[go]
+            new_cur = np.argmin(sub, axis=1)
+            cur[go] = new_cur
+            sub2 = sub.copy()
+            sub2[np.arange(go.size), new_cur] = INF
+            next_pos[go] = sub2.min(axis=1) // K
+            ml[go] = end[go] - C[go, new_cur]
+    return freq
+
+
+def sloppy_phrase_freq_nslot_batch(
+    pos_lists: list[list[np.ndarray]],
+    offs: list[int],
+    slop: int,
+) -> np.ndarray:
+    """List-of-arrays wrapper over :func:`sloppy_phrase_freq_nslot_flat`:
+    ``pos_lists[s][i]`` = positions of slot ``s`` in candidate doc ``i``."""
+    from itertools import chain
+
+    S = len(pos_lists)
+    n = len(pos_lists[0])
+    flats, lens = [], []
+    for s in range(S):
+        ln = np.fromiter((len(x) for x in pos_lists[s]), dtype=np.int64,
+                         count=n)
+        flats.append(np.fromiter(chain.from_iterable(pos_lists[s]),
+                                 dtype=np.int64, count=int(ln.sum())))
+        lens.append(ln)
+    return sloppy_phrase_freq_nslot_flat(flats, lens, offs, slop)
+
+
 def sloppy_phrase_freq_2term_batch(
     lists_a: list,
     lists_b: list,

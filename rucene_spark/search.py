@@ -72,6 +72,8 @@ from .phrase import (
     sloppy_phrase_freq,
     sloppy_phrase_freq_2term_batch,
     sloppy_phrase_freq_2term_flat,
+    sloppy_phrase_freq_nslot_batch,
+    sloppy_phrase_freq_nslot_flat,
 )
 from .query import (
     BooleanQuery,
@@ -322,6 +324,13 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
         mt = bound.astype(np.float64)
         ub64 = coef64 * mt / (
             mt + k1_ * ((1.0 - b_) + b_ * dls_c.astype(np.float64) / avgdl64))
+    if slop == 0 and len(slots) == 1:
+        # single slot — a 2-term phrase fully served by the bigram pair
+        # channel (or a degenerate 1-term phrase): the stored tf IS the
+        # phrase freq, so ub64 is already the exact score; top-k without
+        # ever touching pos_bin
+        sel = np.lexsort((conj, -ub64))[:k]
+        return conj[sel], ub64[sel]
     order = np.lexsort((conj, -ub64))
 
     offpad = max(offsets) if offsets else 0
@@ -385,6 +394,7 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
             # (candidate-capped upstream by the caller like the
             # exhaustive path)
             two_term = (len(slots) == 2 and slots[0][0] != slots[1][0])
+            distinct = len({ti for ti, _ in slots}) == len(slots)
             if two_term:
                 # flat fast path: the gathered arrays are already
                 # doc-ordered flats (every chunk doc holds every term) —
@@ -394,6 +404,14 @@ def _phrase_seg_topk(tds, slots, offsets, tomb, k, chunk0, lucene, wk32,
                 freq = sloppy_phrase_freq_2term_flat(
                     pra, tfa, prb, tfb,
                     offsets[0], offsets[1], slop).astype(np.float64)
+            elif distinct:
+                # n≥3 distinct slots: lockstep heap-walk simulation
+                # across the whole chunk (round-4 verdict #2) — no
+                # per-doc Python, no candidate cap needed
+                freq = sloppy_phrase_freq_nslot_flat(
+                    [gathered[ti][1] for ti, _ in slots],
+                    [gathered[ti][2] for ti, _ in slots],
+                    offsets, slop).astype(np.float64)
             else:
                 slices = {}
                 for ti, g in gathered.items():
@@ -459,7 +477,7 @@ def _span_count_bound(spec, tfm: dict):
 
 def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
                    cache, coef64, k1_, b_, avgdl64, fast2, ta2, tb2,
-                   slop2):
+                   slop2, fastn=False):
     """Segment-local span top-k with impact-ordered verification — the
     span analogue of :func:`_phrase_seg_topk`.
 
@@ -473,7 +491,11 @@ def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
     span kernel — vectorized for the 2-term ordered shape (``fast2``),
     per-doc :func:`spans.span_freq` otherwise (candidate-capped
     upstream by the caller, like the exhaustive path)."""
-    from .spans import ordered_near_freq_2term_flat, span_freq
+    from .spans import (
+        ordered_near_freq_2term_flat,
+        ordered_near_freq_nclause_flat,
+        span_freq,
+    )
 
     e_i = np.empty(0, dtype=np.int64)
     if not tds:
@@ -589,6 +611,24 @@ def _span_seg_topk(tds, spec, group_tis, tomb, k, chunk0, lucene, wk32,
                 flat_b, tfb = _gather_pos(tb2, ent[tb2][cidx])
             freqs = ordered_near_freq_2term_flat(
                 flat_a, tfa, flat_b, tfb, slop2).astype(np.float64)
+        elif fastn:
+            # n-clause ordered near over term/gap clauses: every clause
+            # term is its own required group, so every chunk doc holds
+            # every clause — the gathered flats feed the lockstep kernel
+            # directly (one gather per unique term, memoized per chunk)
+            gath: dict[int, tuple] = {}
+            clauses = []
+            for s_ in spec[1]:
+                if s_[0] == "gap":
+                    clauses.append(("gap", s_[1]))
+                    continue
+                ti = s_[1]
+                if ti not in gath:
+                    gath[ti] = _gather_pos(ti, ent[ti][cidx])
+                flat, tfe = gath[ti]
+                clauses.append(("pos", flat, tfe))
+            freqs = ordered_near_freq_nclause_flat(
+                clauses, spec[2]).astype(np.float64)
         else:
             # per-term positions for this chunk: list-of-arrays aligned
             # to cd
@@ -853,6 +893,11 @@ class IndexSearcher:
         self._plan_cache: dict[tuple[str, int], DataFrame] = {}
         self._tomb_cache: dict[int, np.ndarray] | None = None
         self._single_file: bool | None = None
+        # hot-pair bigram channel (build.py _invert_pairs): frozen hot
+        # vocabulary, loaded lazily from the sidecar on first exact-phrase
+        # search (driver collect bounded by the hot-vocab size)
+        self._bigram_cfg = m.get("bigrams")
+        self._bigram_vocab: dict[str, frozenset] | None = None
         # filter-set query cache (cache.py). Generation key = manifest
         # content hash (the commit point, like SearcherManager's token)
         # PLUS the dv-overlay file set: DV updates change RangeQuery /
@@ -928,6 +973,18 @@ class IndexSearcher:
                        for f in storage.listdir(p)) <= 1
                 for s, p in zip(segs, paths))
         return self._single_file
+
+    def _bigram_hot(self, field: str):
+        """Frozen hot vocabulary of the field's bigram channel, or None
+        when the index has no channel / the env kill-switch is set."""
+        if (self._bigram_cfg is None
+                or os.environ.get("RUCENE_PHRASE_BIGRAMS", "1") == "0"):
+            return None
+        if self._bigram_vocab is None:
+            from .build import load_bigram_vocab
+            self._bigram_vocab = load_bigram_vocab(
+                self.index_dir, {"bigrams": self._bigram_cfg}) or {}
+        return self._bigram_vocab.get(field)
 
     def _tomb_by_seg(self) -> dict[int, np.ndarray]:
         """Resolved tombstones as per-segment sorted doc-id arrays, for the
@@ -3310,10 +3367,11 @@ class IndexSearcher:
         stats = self._stats_for([(q.field, t) for t in set(q.terms)])
         if any((q.field, t) not in stats for t in q.terms):
             return self.spark.createDataFrame([], self._score_schema)
-        if q.slop > 0 and not (len(q.terms) == 2
-                               and q.terms[0] != q.terms[1]):
-            # non-vectorizable sloppy shapes verify per-doc in Python:
-            # same candidate cap as the exhaustive path
+        if q.slop > 0 and len(set(q.terms)) != len(q.terms):
+            # repeated-term sloppy shapes verify per-doc in Python
+            # (repeat groups): same candidate cap as the exhaustive
+            # path.  Distinct-term phrases of any length are lockstep-
+            # vectorized (sloppy_phrase_freq_nslot_flat) and exempt.
             self._check_verify_cap(
                 min(int(stats[(q.field, t)]["df"]) for t in q.terms),
                 f"sloppy phrase {q.terms!r}~{q.slop}")
@@ -3329,10 +3387,39 @@ class IndexSearcher:
         wk32 = np.float32(weight32 * (np.float32(k1_) + np.float32(1.0)))
         coef64 = (idf64_total * float(boost)) * _kp1_64(k1_)
 
-        uniq_terms = sorted(set(q.terms))
+        # hot-pair rewrite (build.py bigram channel): for an exact phrase,
+        # every adjacent (a@p, b@p+1) slot pair with BOTH terms in the hot
+        # vocabulary collapses into ONE pseudo-slot backed by the pair
+        # postings — pair-position set == capped(a) ∩ (capped(b)−1), so the
+        # slot-intersection semantics (and therefore freq and score) are
+        # unchanged, while the conjunction shrinks from corpus-sized
+        # stopword lists to the tiny adjacency lists and the min-tf bound
+        # becomes the EXACT adjacency count.  A 2-term hot phrase reduces
+        # to a single slot and never decodes positions at all
+        # (_phrase_seg_topk fast path).  Rank/score identity vs the
+        # unrewritten path is asserted by tests/test_bigrams.py.
+        from .build import BIGRAM_SEP, BIGRAM_SUFFIX
+        hot = self._bigram_hot(q.field) if q.slop == 0 else None
+        terms_pos = [(t, int(p)) for t, p in zip(q.terms, q.positions)]
+        new_slots: list[tuple[str, int, bool]] = []
+        j = 0
+        while j < len(terms_pos):
+            t, p = terms_pos[j]
+            if (hot and j + 1 < len(terms_pos)
+                    and terms_pos[j + 1][1] == p + 1
+                    and t in hot and terms_pos[j + 1][0] in hot):
+                new_slots.append(
+                    (t + BIGRAM_SEP + terms_pos[j + 1][0], p, True))
+                j += 2
+            else:
+                new_slots.append((t, p, False))
+                j += 1
+        base_terms = sorted({t for t, _, isp in new_slots if not isp})
+        pair_terms = sorted({t for t, _, isp in new_slots if isp})
+        uniq_terms = base_terms + pair_terms
         ti_of = {t: i for i, t in enumerate(uniq_terms)}
-        slots = [(ti_of[t], int(o)) for t, o in zip(q.terms, q.positions)]
-        offsets = [int(o) for o in q.positions]
+        slots = [(ti_of[t], p) for t, p, _ in new_slots]
+        offsets = [p for _, p, _ in new_slots]
         slop_ = int(q.slop)
         terms_ = list(q.terms)
         n_uniq = len(uniq_terms)
@@ -3363,8 +3450,15 @@ class IndexSearcher:
                     "score": sv,
                 })
 
+        conds = []
+        if base_terms:
+            conds.append((F.col("field") == q.field)
+                         & F.col("term").isin(base_terms))
+        if pair_terms:
+            conds.append((F.col("field") == q.field + BIGRAM_SUFFIX)
+                         & F.col("term").isin(pair_terms))
         scan = self._postings.filter(
-            (F.col("field") == q.field) & F.col("term").isin(uniq_terms)
+            reduce(lambda a, b: a | b, conds)
         ).select("term", "seg", "block_id", "num_docs", "docs_bin",
                  "tfs_bin", "norms_bin", "dls_bin", "pos_bin")
         return self._coalesced(scan).mapInPandas(
@@ -3423,10 +3517,16 @@ class IndexSearcher:
         else:
             groups = [terms]
         group_tis = [sorted({ti_of[t] for t in g}) for g in groups]
+        batch_on = os.environ.get("RUCENE_SPAN_BATCH", "1") != "0"
         fast2 = (spec[0] == "near" and bool(spec[3]) and len(spec[1]) == 2
-                 and all(s[0] == "term" for s in spec[1])
-                 and os.environ.get("RUCENE_SPAN_BATCH", "1") != "0")
-        if not fast2:
+                 and all(s[0] == "term" for s in spec[1]) and batch_on)
+        # n-clause ordered near over term/gap clauses: lockstep-vectorized
+        # (ordered_near_freq_nclause_flat, round-4 verdict #2) — exempt
+        # from the per-doc-verify candidate cap like the 2-term shape
+        fastn = (not fast2 and spec[0] == "near" and bool(spec[3])
+                 and all(s[0] in ("term", "gap") for s in spec[1])
+                 and spec[1][0][0] == "term" and batch_on)
+        if not (fast2 or fastn):
             def _df(t: str) -> int:
                 row = stats.get((field, t))
                 return int(row["df"]) if row else 0
@@ -3453,7 +3553,7 @@ class IndexSearcher:
                 dv, sv = _span_seg_topk(
                     tds, spec, group_tis, tomb.get(int(s)), k_, chunk0,
                     lucene, wk32, cache, coef64, k1_, b_, avgdl64,
-                    fast2, ta2, tb2, slop2)
+                    fast2, ta2, tb2, slop2, fastn)
                 if len(dv) == 0:
                     continue
                 yield pd.DataFrame({
@@ -3587,21 +3687,25 @@ class IndexSearcher:
         )
 
         two_term = len(terms) == 2 and terms[0] != terms[1]
-        if not two_term:
-            # the k-list heap walk is per-doc Python; gate it on the
-            # metadata candidate bound (min required-term df) so an
-            # adversarial stopword phrase can't run a corpus-sized
-            # Python loop — degrade-by-rejection with guidance, like
-            # block-max's degenerate path (round-3 VERDICT #1)
+        distinct = len(set(terms)) == len(terms)
+        if not distinct:
+            # repeated-term phrases keep the per-doc heap walk (repeat
+            # groups, phrase_scorer.rs:587-792); gate it on the metadata
+            # candidate bound (min required-term df) so an adversarial
+            # stopword phrase can't run a corpus-sized Python loop —
+            # degrade-by-rejection with guidance, like block-max's
+            # degenerate path (round-3 VERDICT #1).  Distinct-term
+            # phrases of ANY length are lockstep-vectorized (round-4
+            # verdict #2) and exempt.
             self._check_verify_cap(
                 min(int(stats[(q.field, t)]["df"]) for t in q.terms),
                 f"sloppy phrase {q.terms!r}~{slop}")
 
         def verify(batches):
             # sloppy only (exact phrases returned above). Two distinct
-            # terms — the adversarial stopword-pair shape — run the
-            # batch-vectorized alternating-leader walk (one searchsorted
-            # round per phase, whole batch in lockstep); other shapes
+            # terms run the batch-vectorized alternating-leader walk;
+            # n≥3 distinct terms run the lockstep heap-walk simulation
+            # (sloppy_phrase_freq_nslot_batch); repeated-term shapes
             # keep the per-doc heap walk (phrase_scorer.rs:537-575)
             # behind the candidate cap checked above.
             for pdf in batches:
@@ -3615,6 +3719,11 @@ class IndexSearcher:
                         [pm[term_tis[1]] for pm in pms],
                         offsets[0], offsets[1], slop,
                     ).astype(np.float64)
+                elif distinct:
+                    freqs = sloppy_phrase_freq_nslot_batch(
+                        [[np.asarray(pm[ti], dtype=np.int64) for pm in pms]
+                         for ti in term_tis],
+                        offsets, slop).astype(np.float64)
                 else:
                     freqs = np.zeros(n_cand, dtype=np.float64)
                     for r in range(n_cand):
@@ -3706,14 +3815,20 @@ class IndexSearcher:
         # (spans.ordered_near_freq_2term_batch), so it is exempt from the
         # per-doc-Python candidate cap, like the 2-distinct-term sloppy
         # phrase
+        batch_on = os.environ.get("RUCENE_SPAN_BATCH", "1") != "0"
         fast2 = (spec[0] == "near" and bool(spec[3]) and len(spec[1]) == 2
-                 and all(s[0] == "term" for s in spec[1])
-                 and os.environ.get("RUCENE_SPAN_BATCH", "1") != "0")
-        if not fast2:
-            # span verify is per-doc Python (spans.py kernels): gate on
-            # the metadata candidate bound — a doc needs >=1 term of
-            # every required group, so min over groups of the group's
-            # summed df bounds the candidate set (round-3 VERDICT #1)
+                 and all(s[0] == "term" for s in spec[1]) and batch_on)
+        fastn = (not fast2 and spec[0] == "near" and bool(spec[3])
+                 and all(s[0] in ("term", "gap") for s in spec[1])
+                 and spec[1][0][0] == "term" and batch_on)
+        if not (fast2 or fastn):
+            # remaining per-doc-Python span shapes (or-trees, unordered
+            # nears): gate on the metadata candidate bound — a doc needs
+            # >=1 term of every required group, so min over groups of the
+            # group's summed df bounds the candidate set (round-3
+            # VERDICT #1).  Ordered nears over term/gap clauses of ANY
+            # length are lockstep-vectorized (round-4 verdict #2) and
+            # exempt.
             def _df(t: str) -> int:
                 row = stats.get((field, t))
                 return int(row["df"]) if row else 0
@@ -3752,9 +3867,13 @@ class IndexSearcher:
         ta2 = spec[1][0][1] if fast2 else -1
         tb2 = spec[1][1][1] if fast2 else -1
         slop2 = spec[2] if fast2 else 0
-        from .spans import ordered_near_freq_2term_batch
+        from .spans import (
+            ordered_near_freq_2term_batch,
+            ordered_near_freq_nclause_flat,
+        )
 
         def verify(batches):
+            from itertools import chain
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -3763,6 +3882,22 @@ class IndexSearcher:
                     freqs = ordered_near_freq_2term_batch(
                         [m[ta2] for m in pms], [m[tb2] for m in pms],
                         slop2).astype(np.float64)
+                elif fastn:
+                    clauses = []
+                    for s_ in spec[1]:
+                        if s_[0] == "gap":
+                            clauses.append(("gap", s_[1]))
+                            continue
+                        ti = s_[1]
+                        lists = [m[ti] for m in pms]
+                        ln = np.fromiter((len(x) for x in lists),
+                                         dtype=np.int64, count=len(lists))
+                        flat = np.fromiter(chain.from_iterable(lists),
+                                           dtype=np.int64,
+                                           count=int(ln.sum()))
+                        clauses.append(("pos", flat, ln))
+                    freqs = ordered_near_freq_nclause_flat(
+                        clauses, spec[2]).astype(np.float64)
                 else:
                     freqs = np.zeros(len(pdf), dtype=np.float64)
                     for r in range(len(pdf)):

@@ -167,6 +167,83 @@ def span_freq(spec, pos_map: dict) -> np.float32:
     return freq
 
 
+def ordered_near_freq_nclause_flat(
+    clauses: list[tuple],
+    slop: int,
+) -> np.ndarray:
+    """Vectorized ordered-near freq for ANY clause count over a batch of
+    candidate docs — the round-4 verdict's #2 for the span side: 3+-clause
+    ordered nears previously verified per-doc behind the candidate cap.
+
+    ``clauses`` entries are ``("pos", flat, lens)`` — a positional clause
+    (term, or an or-of-terms whose merged ascending positions are given;
+    term spans have length 1, so the ordered walk only needs starts) —
+    or ``("gap", width)``; the first clause must be positional.
+
+    Correctness shape: the scalar walk (ordered_near_spans /
+    span_near.rs:725-821) advances later-clause pointers monotonically
+    across first-clause iterations; since the prev_end chains are
+    non-decreasing in the first-clause position, the stateful pointers
+    equal the stateless "first start ≥ prev_end" per iteration (module
+    docstring), and clause exhaustion fails every later iteration too —
+    so masking equals the scalar early-return.  One row-wise
+    searchsorted per (first-clause column × later clause): ≤ 10·n_clause
+    vectorized rounds for the whole batch.  Accumulation is float32 in
+    ascending first-clause order — bit-identical to :func:`span_freq`
+    (fuzz-asserted in tests/test_spans.py).
+    """
+    first = clauses[0]
+    if first[0] != "pos":
+        raise ValueError("first ordered-near clause must be positional")
+    n = len(first[2])
+    freq = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return freq
+    SENT = np.int64(2**62)
+    padded = []
+    for cl in clauses:
+        if cl[0] == "gap":
+            padded.append(cl)
+            continue
+        _, flat, lens = cl
+        lens = np.asarray(lens, dtype=np.int64)
+        m = int(lens.max()) if n else 0
+        M = np.full((n, max(m, 1)), SENT, dtype=np.int64)
+        if m:
+            M[np.arange(m) < lens[:, None]] = np.asarray(flat,
+                                                         dtype=np.int64)
+        padded.append(("pos", M, lens))
+    _, A0, l0 = padded[0]
+    rows = np.arange(n)
+    one32 = np.float32(1.0)
+    slop_ = np.int64(slop)
+    for j in range(A0.shape[1]):
+        a = A0[:, j]
+        valid = a != SENT
+        if not valid.any():
+            break
+        prev_end = a + np.int64(1)
+        width = np.zeros(n, dtype=np.int64)
+        for cl in padded[1:]:
+            if cl[0] == "gap":
+                prev_end = prev_end + np.int64(cl[1])
+                continue
+            _, Ci, li = cl
+            idx = (Ci < prev_end[:, None]).sum(axis=1)
+            valid &= idx < li
+            s = Ci[rows, np.minimum(idx, Ci.shape[1] - 1)]
+            width = width + (s - prev_end)
+            prev_end = s + np.int64(1)
+        wsafe = np.maximum(width, 0).astype(np.float32)
+        contrib = np.where(
+            valid & (width <= slop_),
+            one32 / (wsafe + one32),
+            np.float32(0.0),
+        ).astype(np.float32)
+        freq = (freq + contrib).astype(np.float32)
+    return freq
+
+
 def ordered_near_freq_2term_batch(
     lists_a: list,
     lists_b: list,

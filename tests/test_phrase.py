@@ -144,3 +144,32 @@ def test_2term_flat_equals_list_kernel():
         assert got.tobytes() == want.tobytes()
     e = np.empty(0, dtype=np.int64)
     assert len(sloppy_phrase_freq_2term_flat(e, e, e, e, 0, 1, 2)) == 0
+
+
+def test_nslot_batch_bit_identical_fuzz():
+    """The lockstep n-slot kernel must be float32-BIT-identical to the
+    scalar heap walk for 2..5 DISTINCT slots, contiguous and gapped and
+    shuffled offsets, every slop band (round-4 verdict #2)."""
+    from rucene_spark.phrase import sloppy_phrase_freq_nslot_batch
+
+    rng = np.random.default_rng(55)
+    for _ in range(600):
+        S = int(rng.integers(2, 6))
+        n = int(rng.integers(1, 30))
+        offs = rng.choice(np.arange(0, S + 3), size=S,
+                          replace=False).tolist()
+        if rng.random() < 0.5:
+            offs = sorted(offs)
+        slop = int(rng.integers(0, 7))
+        pls = [[np.sort(rng.choice(40, size=int(rng.integers(1, 11)),
+                                   replace=False)).astype(np.int64)
+                for _ in range(n)] for _ in range(S)]
+        got = sloppy_phrase_freq_nslot_batch(pls, offs, slop)
+        terms = [f"t{s}" for s in range(S)]
+        for i in range(n):
+            want = sloppy_phrase_freq(
+                [pls[s][i] for s in range(S)], offs, terms, slop)
+            assert (np.float32(got[i]).view(np.int32)
+                    == np.float32(want).view(np.int32)), (
+                [pls[s][i].tolist() for s in range(S)], offs, slop,
+                got[i], want)

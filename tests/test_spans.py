@@ -295,3 +295,42 @@ def test_ordered_2term_flat_equals_list_kernel():
         assert got.tobytes() == want.tobytes()
     e = np.empty(0, dtype=np.int64)
     assert len(ordered_near_freq_2term_flat(e, e, e, e, 3)) == 0
+
+
+def test_nclause_ordered_batch_bit_identical_fuzz():
+    """The lockstep n-clause ordered-near kernel must be float32-BIT-
+    identical to span_freq for 2..5 term clauses, with and without gap
+    clauses (round-4 verdict #2)."""
+    from itertools import chain
+
+    from rucene_spark.spans import ordered_near_freq_nclause_flat
+
+    rng = np.random.default_rng(77)
+    for _ in range(600):
+        S = int(rng.integers(2, 6))
+        n = int(rng.integers(1, 25))
+        slop = int(rng.integers(0, 8))
+        gap_at = int(rng.integers(1, S)) if (rng.random() < 0.3
+                                             and S >= 2) else None
+        gap_w = int(rng.integers(0, 3))
+        pls = [[np.sort(rng.choice(40, size=int(rng.integers(1, 11)),
+                                   replace=False)).astype(np.int64)
+                for _ in range(n)] for _ in range(S)]
+        clauses, subs = [], []
+        for s in range(S):
+            if gap_at is not None and s == gap_at:
+                clauses.append(("gap", gap_w))
+                subs.append(("gap", gap_w))
+            ln = np.fromiter((len(x) for x in pls[s]), np.int64, n)
+            flat = np.fromiter(chain.from_iterable(pls[s]), np.int64,
+                               int(ln.sum()))
+            clauses.append(("pos", flat, ln))
+            subs.append(("term", s))
+        got = ordered_near_freq_nclause_flat(clauses, slop)
+        spec = ("near", subs, slop, True)
+        for i in range(n):
+            want = span_freq(spec, {s: pls[s][i] for s in range(S)})
+            assert (np.float32(got[i]).view(np.int32)
+                    == np.float32(want).view(np.int32)), (
+                [pls[s][i].tolist() for s in range(S)], slop, gap_at,
+                gap_w, got[i], want)

@@ -48,6 +48,9 @@ N_PARTS = int(os.environ.get("BENCH1M_PARTS", "64"))
 # StandardAnalyzer mode; punctuation-stripped lowercased tokens, so term
 # stats differ from the whitespace runs — throughput-comparable only)
 ANALYZER = os.environ.get("BENCH1M_ANALYZER", "whitespace")
+# hot-pair bigram channel (build.py): "0"/unset = off, else the hot-df
+# fraction (e.g. "0.05") — the round-5 stopword-phrase acceleration
+BIGRAMS = float(os.environ.get("BENCH1M_BIGRAMS", "0") or "0")
 TMPFS = os.environ.get(
     "BENCH1M_TMP",
     "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
@@ -110,7 +113,9 @@ def main() -> None:
         idx = os.path.join(work, "idx")
         t0 = time.time()
         writer = IndexWriter(spark, idx, n_segments=N_PARTS, key_col="url",
-                             partitioner="hash", analyzer=ANALYZER)
+                             partitioner="hash", analyzer=ANALYZER,
+                             bigrams=BIGRAMS or None)
+        out["bigrams"] = BIGRAMS or None
         m = writer.build(docs)
         stages["build"] = round(time.time() - t0, 2)
         out["index_docs_per_sec"] = round(n_docs / stages["build"], 1)
