@@ -686,13 +686,17 @@ _IVF_CACHE: dict[str, str] = {}
 
 def q_ann_ivf_part(spark, sf_dir):
     # the production IVF path (broadcast numpy quantizer + cell-PARTITIONED
-    # parquet layout, probe = partition pruning); assignment is
-    # value-identical to the literal-expression gate quantizer
-    # (tests/test_ivf.py), so the same SQL oracle applies
+    # parquet layout, probe = partition pruning); round 5: the layout is
+    # SQ8-COMPRESSED — the probe scans 1-byte codes only and rescores the
+    # k*rescore shortlist in float32 (the 10^11-vector memory posture) —
+    # yet must still hash-match the same exact-cosine SQL oracle.
+    # Assignment is value-identical to the literal-expression gate
+    # quantizer (tests/test_ivf.py), so the same SQL oracle applies.
     if sf_dir not in _IVF_CACHE:
         d = os.path.join(tempfile.gettempdir(),
-                         "rucene_spark_ivf_" + sf_dir.rstrip("/").replace("/", "_"))
-        ann.ivf_build(_emb(spark, sf_dir), d, n_cells=ann.N_CELLS)
+                         "rucene_spark_ivfq_" + sf_dir.rstrip("/").replace("/", "_"))
+        ann.ivf_build(_emb(spark, sf_dir), d, n_cells=ann.N_CELLS,
+                      compression="sq8")
         _IVF_CACHE[sf_dir] = d
     qrow = _emb(spark, sf_dir).filter(F.col("vec_id") == 7)         .select("embedding").first()
     return ann.ivf_search(spark, _IVF_CACHE[sf_dir],

@@ -455,33 +455,112 @@ def ivf_assign_bcast(df: DataFrame, n_cells: int = N_CELLS,
         assign, "vec_id long, embedding array<float>, cell long")
 
 
-def ivf_build(df: DataFrame, out_dir: str, n_cells: int = N_CELLS) -> dict:
+def _sq8_stats(df: DataFrame):
+    """Per-dimension (lo, hi) over the corpus for SQ8 quantization —
+    partial min/max per Arrow batch, driver combine of one d-sized row
+    per partition (metadata-bounded at any corpus size)."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        lo = hi = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.asarray([np.asarray(v, dtype=np.float64)
+                              for v in pdf["embedding"]])
+            blo, bhi = emb.min(axis=0), emb.max(axis=0)
+            lo = blo if lo is None else np.minimum(lo, blo)
+            hi = bhi if hi is None else np.maximum(hi, bhi)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo.tolist()], "hi": [hi.tolist()]})
+
+    rows = (df.select("embedding")
+            .mapInPandas(partial, "lo array<double>, hi array<double>")
+            .collect())
+    lo = np.min([r["lo"] for r in rows], axis=0)
+    hi = np.max([r["hi"] for r in rows], axis=0)
+    return lo, hi
+
+
+def ivf_build(df: DataFrame, out_dir: str, n_cells: int = N_CELLS,
+              compression: str | None = None) -> dict:
     """Write the IVF layout: corpus parquet PARTITIONED BY cell +
     a centroids sidecar. The partitioned layout is the inverted file —
     a probe of ``nprobe`` cells is Spark partition pruning, reading
-    nprobe/n_cells of the bytes."""
+    nprobe/n_cells of the bytes.
+
+    ``compression="sq8"`` (round-5: the 10^11-vector memory posture)
+    additionally stores each vector as d uint8 codes (global per-dim
+    min/max scalar quantization — 4x smaller than the float32 array,
+    8-16x smaller than the float64 numpy working set): the probe phase
+    then scans ONLY (vec_id, code) — Parquet column pruning keeps the
+    float32 column on disk — and the exact float32 embedding column is
+    read back for just the ``k*rescore`` candidates (vec_id-pushdown
+    scan). Recall is governed by the rescore window, not the codes
+    (tests/test_ivf.py asserts fixture-exact results vs the fp32 path).
+    """
     import json
     import os
 
+    import numpy as np
+
     cells, mat = _centroid_matrix(df, n_cells)
     assigned = ivf_assign_bcast(df, n_cells, cells, mat)
+    meta = {"cells": cells.tolist(), "matrix": mat.tolist(),
+            "n_cells": n_cells, "compression": compression}
+    if compression == "sq8":
+        import pandas as pd
+
+        lo, hi = _sq8_stats(df)
+        span = np.maximum(hi - lo, 1e-12)
+        b = df.sparkSession.sparkContext.broadcast((lo, span))
+
+        def encode(batches):
+            lo_, span_ = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                emb = np.asarray([np.asarray(v, dtype=np.float64)
+                                  for v in pdf["embedding"]])
+                codes = np.clip(
+                    np.rint((emb - lo_) / span_ * 255.0), 0, 255
+                ).astype(np.uint8)
+                out = pdf[["vec_id", "embedding", "cell"]].copy()
+                out["code"] = [c.tobytes() for c in codes]
+                yield out
+
+        assigned = assigned.mapInPandas(
+            encode,
+            "vec_id long, embedding array<float>, cell long, code binary")
+        meta["sq8_lo"] = lo.tolist()
+        meta["sq8_hi"] = hi.tolist()
+    elif compression is not None:
+        raise ValueError(f"unknown IVF compression {compression!r}"
+                         " (expected None or 'sq8')")
     (assigned.repartition("cell")
      .write.mode("overwrite").partitionBy("cell").parquet(
          os.path.join(out_dir, "vectors")))
     with open(os.path.join(out_dir, "centroids.json"), "w") as fh:
-        json.dump({"cells": cells.tolist(),
-                   "matrix": mat.tolist(),
-                   "n_cells": n_cells}, fh)
-    return {"n_cells": n_cells, "dir": out_dir}
+        json.dump(meta, fh)
+    return {"n_cells": n_cells, "dir": out_dir, "compression": compression}
 
 
 def ivf_search(spark, index_dir: str, query_vec: list, k: int = 10,
                nprobe: int = N_PROBE,
-               exclude_vec_id: int | None = None) -> DataFrame:
+               exclude_vec_id: int | None = None,
+               rescore: int = 8) -> DataFrame:
     """Top-k cosine over the ``nprobe`` nearest cells of an
     :func:`ivf_build` layout. The cell predicate is a PARTITION filter —
     only nprobe/n_cells of the files are read (plan-asserted); scoring is
-    the same JVM dot-product expression as the brute-force baseline."""
+    the same JVM dot-product expression as the brute-force baseline.
+
+    On an SQ8-compressed layout the probe scan reads ONLY the uint8
+    codes (column pruning leaves the float32 column on disk), takes the
+    top ``k*rescore`` by approximate cosine, and re-reads just those
+    candidates' exact float32 embeddings (vec_id pushdown on the same
+    pruned cells) for the final exact-score top-k — so executor memory
+    scales with the 1-byte codes, never the float arrays."""
     import json
     import os
 
@@ -506,6 +585,38 @@ def ivf_search(spark, index_dir: str, query_vec: list, k: int = 10,
     cond = SF.col("cell").isin(probes)
     if exclude_vec_id is not None:
         cond = cond & (SF.col("vec_id") != exclude_vec_id)
+
+    if c.get("compression") == "sq8":
+        import pandas as pd
+
+        lo = np.asarray(c["sq8_lo"], dtype=np.float64)
+        span = np.maximum(np.asarray(c["sq8_hi"], dtype=np.float64) - lo,
+                          1e-12)
+        b = spark.sparkContext.broadcast((lo, span, q, qn))
+        kr = max(k * rescore, k)
+
+        def approx(batches):
+            lo_, span_, q_, qn_ = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.frombuffer(
+                    b"".join(pdf["code"]), dtype=np.uint8
+                ).reshape(len(pdf), -1).astype(np.float64)
+                emb = lo_ + codes / 255.0 * span_
+                vn = np.sqrt((emb * emb).sum(axis=1))
+                ac = (emb @ q_) / (np.maximum(vn, 1e-12) * qn_)
+                out = pdf[["vec_id"]].copy()
+                out["acos"] = ac
+                # per-batch shortlist: at most kr rows leave the worker
+                yield out.nlargest(min(kr, len(out)), "acos")
+
+        cand = (vecs.where(cond).select("vec_id", "code")
+                .mapInPandas(approx, "vec_id long, acos double")
+                .orderBy(SF.desc("acos"), "vec_id").limit(kr))
+        cand_ids = [int(r["vec_id"]) for r in cand.collect()]
+        cond = cond & SF.col("vec_id").isin(cand_ids)
+
     return (
         vecs.where(cond)
         .select("vec_id", SF.round(cos, 6).alias("cosine"))

