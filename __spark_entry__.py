@@ -857,9 +857,12 @@ def oracle_sql() -> dict[str, str]:
         " '[0-9a-z_\\x{00c0}-\\x{024f}\\x{0400}-\\x{04ff}]+"
         "|[\\x{3040}-\\x{30ff}\\x{3400}-\\x{9fff}\\x{f900}-\\x{faff}]')"
     )
+    # left(term, 255) mirrors _STD_MAX_TOKEN_LEN (round-4 ADVICE #3):
+    # benign on today's sf corpora but keeps the oracle faithful if a
+    # decorated document ever carries a >255-char word run
     sqls["standard_analyzer_topk"] = f"""
 WITH tok AS (
-  SELECT doc_id, unnest({_std_tok}) AS term FROM documents
+  SELECT doc_id, left(unnest({_std_tok}), 255) AS term FROM documents
 ),
 tf AS (
   SELECT doc_id, term, least(count(*), 10) AS tf

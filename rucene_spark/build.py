@@ -1122,6 +1122,12 @@ def write_term_stats(spark: SparkSession, index_dir: str,
     searcher's ``term IN (...)`` stats lookups.
     """
     segstats = read_seg_table(spark, index_dir, manifest, "segstats")
+    # bigram pair channels stay OUT of the global stats: pair terms are
+    # never consulted for idf/df/count/BMW bounds (the phrase rewrite
+    # reads pair postings directly), and on a 10M-doc webtext corpus the
+    # pair vocabulary is ~1.4x the base vocabulary — excluding it keeps
+    # the stats shuffle and the searcher's stats table at base size
+    segstats = segstats.filter(~F.col("field").endswith(BIGRAM_SUFFIX))
     term_stats = (
         segstats
         .repartition(max(1, n_parts), "field", "term")

@@ -113,6 +113,53 @@ def test_arrow_lower_matches_python_for_word_class():
     assert arrow_low == py_low
 
 
+def test_arrow_lower_class_membership_full_unicode_range():
+    """Round-4 ADVICE #2: the fast path lowercases BEFORE tokenizing, so
+    a utf8proc/CPython drift ANYWHERE in the codepoint space would only
+    matter if it moves a char's lowered form into or out of the word/CJK
+    classes differently from str.lower().  Scan the full BMP+SMP cased
+    range: for every non-hazard codepoint, utf8_lower and str.lower must
+    agree on (a) word-class membership per lowered char and (b) CJK-class
+    membership — exact string equality is additionally asserted wherever
+    either side's lowered form touches the word class (the only chars the
+    tokenizer keeps)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    word = re.compile("[0-9a-z_\u00c0-\u024f\u0400-\u04ff]")
+    cjk = re.compile("[\u3040-\u30ff\u3400-\u9fff\uf900-\ufaff]")
+    # the module's own hazard class, RE2 \x{...} -> Python chars
+    hazard = re.compile(re.sub(
+        r"\\x\{([0-9a-f]+)\}", lambda m: chr(int(m.group(1), 16)),
+        A._STD_HAZARD_RE))
+    chars = []
+    for cp in range(0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        c = chr(cp)
+        if hazard.match(c):
+            continue
+        # only chars whose lowering is non-trivial on either side, plus
+        # everything already word/CJK-class, can affect tokenization
+        if c.lower() != c or word.match(c) or cjk.match(c):
+            chars.append(c)
+    arrow_low = pc.utf8_lower(pa.array(chars)).to_pylist()
+    diverge = []
+    for c, al in zip(chars, arrow_low):
+        pl = c.lower()
+        if al == pl:
+            continue
+        a_word = "".join(ch for ch in al if word.match(ch))
+        p_word = "".join(ch for ch in pl if word.match(ch))
+        a_cjk = "".join(ch for ch in al if cjk.match(ch))
+        p_cjk = "".join(ch for ch in pl if cjk.match(ch))
+        if a_word != p_word or a_cjk != p_cjk:
+            diverge.append((hex(ord(c)), al, pl))
+    assert not diverge, (
+        f"{len(diverge)} codepoints lower into the word/CJK classes "
+        f"differently between utf8proc and CPython: {diverge[:10]}")
+
+
 def test_cap_255_and_dedupe_after_truncation():
     long_a = "x" * 260 + "a"
     long_b = "x" * 260 + "b"  # truncates to the same 255-char prefix

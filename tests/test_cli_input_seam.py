@@ -55,21 +55,31 @@ def test_unknown_format_rejected(spark):
         _read_input(spark, "x", "orc2")
 
 
-def test_cli_build_search_standard_analyzer(spark, corpus_path, tmp_path):
-    """cmd_build with --analyzer standard builds a manifest recording the
-    mode, and a search through the standard index finds the punctuation-
-    normalized term (webtext attaches ',' etc. to 2% of tokens — standard
-    mode folds them into the bare term, whitespace would not)."""
+def test_cli_build_search_standard_analyzer(spark, corpus_path, tmp_path,
+                                            monkeypatch, capsys):
+    """ACTUAL CLI-level coverage of the --analyzer plumbing (round-4
+    ADVICE #1): drive ``main(['build', '--analyzer', 'standard', ...])``
+    end-to-end — argparse → cmd_build → IndexWriter — then search the
+    built index for the punctuation-normalized term (webtext attaches
+    ',' etc. to 2% of tokens; standard mode folds them into the bare
+    term, whitespace would not). The CLI's session factory is pointed at
+    the shared test session (and its stop() stubbed) so the module-scoped
+    fixture survives."""
+    import json as _json
 
-
-    from rucene_spark.build import IndexWriter, load_manifest
+    from rucene_spark import cli
+    from rucene_spark.build import load_manifest
     from rucene_spark.query import TermQuery
     from rucene_spark.search import IndexSearcher
 
+    monkeypatch.setattr(cli, "_spark", lambda master, segs: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
     idx = str(tmp_path / "idx_std")
-    df = spark.read.parquet(corpus_path)
-    IndexWriter(spark, idx, n_segments=2, key_col="url",
-                analyzer="standard").build(df)
+    cli.main(["build", "--input", corpus_path, "--index-dir", idx,
+              "--segments", "2", "--key-col", "url",
+              "--analyzer", "standard"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] > 0
     m = load_manifest(idx)
     assert m["analyzer"] == "standard"
     s = IndexSearcher(spark, idx, scoring="precise")
