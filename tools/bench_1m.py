@@ -67,7 +67,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(CPUS * 2))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory",
+                os.environ.get("BENCH1M_DRIVER_MEM", "48g"))
         .config("spark.local.dir", os.path.join(work, "spark-local"))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -121,6 +122,17 @@ def main() -> None:
         out["index_docs_per_sec"] = round(n_docs / stages["build"], 1)
         out["terms"] = int(sum(s["terms"] for s in m["segments"]))
         out["postings"] = int(sum(s["postings"] for s in m["segments"]))
+
+        # The corpus lives in tmpfs, which is RAM: at 10M+ docs the
+        # html-bearing parquet (~21 GiB) plus the driver JVM heap plus
+        # the shuffle dirs brushes the host ceiling (an OOM kill ended
+        # one 10M run exactly here).  Everything after the build reads
+        # only the url column (delete-victim sampling), so swap the
+        # full corpus for a url-only projection and free the rest.
+        url_dir = os.path.join(work, "corpus_urls")
+        docs.select("url").write.mode("overwrite").parquet(url_dir)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        docs = spark.read.parquet(url_dir)
 
         # ---- 3. query suite
         from rucene_spark.query import (
