@@ -81,7 +81,12 @@ def main() -> None:
         # ---- 1. distributed corpus generation
         t0 = time.time()
         per_part = DOCS // N_PARTS
-        corpus_dir = os.path.join(work, "corpus")
+        # At 30M+ docs the html-bearing corpus (~2.1 GiB per 1M docs)
+        # no longer fits the RAM-backed tmpfs next to the driver JVM;
+        # BENCH1M_CORPUS_DIR points it at real disk while segments and
+        # shuffle stay in tmpfs.
+        corpus_dir = os.environ.get("BENCH1M_CORPUS_DIR") or os.path.join(
+            work, "corpus")
 
         def gen(batches):
             import pandas as pd  # noqa: F401
@@ -301,6 +306,9 @@ def main() -> None:
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
+        ext_corpus = os.environ.get("BENCH1M_CORPUS_DIR")
+        if ext_corpus:
+            shutil.rmtree(ext_corpus, ignore_errors=True)
 
 
 if __name__ == "__main__":
