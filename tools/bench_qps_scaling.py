@@ -75,7 +75,16 @@ EXEC_MEM_MB = int(os.environ.get("SCALE_QPS_EXEC_MEM_MB", "8192"))
 # level values: core counts in threads mode, executor counts in
 # executors mode; the big level is 4x the small either way, so the
 # efficiency divisor stays 4
-LEVELS = (1, 4) if MODE == "executors" else (N_SMALL, N_BIG)
+
+# executors mode: SCALE_QPS_EXEC_BASE sets the small executor count
+# (default 1 → 1 vs 4). A larger base (2 vs 8) shrinks the relative
+# contribution of the UNBOUNDED driver JVM (result merge + planning
+# threads run on host cores outside the executor grant, worth a
+# roughly constant ~1 core at both levels — which inflates the small
+# level's qps most when its own grant is smallest).
+EXEC_BASE = int(os.environ.get("SCALE_QPS_EXEC_BASE", "1"))
+LEVELS = ((EXEC_BASE, 4 * EXEC_BASE) if MODE == "executors"
+          else (N_SMALL, N_BIG))
 COOLDOWN = float(os.environ.get("SCALE_QPS_COOLDOWN", "20"))
 CTL_SECS = float(os.environ.get("SCALE_QPS_CTL_SECS", "12"))
 
