@@ -221,7 +221,15 @@ batches = [queries[i:i + bs] for i in range(0, len(queries), bs)]
 def serve_batch(bi):
     return searcher.search_many(batches[bi], 10).collect()
 
-n_streams = int(os.environ.get("RS_STREAMS", "4"))
+# Offered load: fixed RS_STREAMS, or RS_STREAMS_PER_CORE x task slots
+# (saturation mode). A fixed stream count that doesn't saturate the BIG
+# level measures closed-loop latency, not capacity — at 1 executor,
+# 4->8 streams raised qps 7.4->12.8 on identical code, proving 4
+# streams starved even the SMALL level. Under per-core load both
+# levels run at capacity and the qps ratio is the capacity ratio the
+# north rule's throughput criterion asks about.
+_spc = int(os.environ.get("RS_STREAMS_PER_CORE", "0"))
+n_streams = _spc * cores if _spc else int(os.environ.get("RS_STREAMS", "4"))
 with ThreadPoolExecutor(n_streams) as pool:
     list(pool.map(serve_batch, range(len(batches))))  # warm-up
     walls = []
