@@ -69,7 +69,9 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("BENCH1M_DRIVER_MEM", "48g"))
-        .config("spark.local.dir", os.path.join(work, "spark-local"))
+        .config("spark.local.dir",
+                os.environ.get("BENCH1M_LOCAL_DIR")
+                or os.path.join(work, "spark-local"))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
@@ -88,6 +90,13 @@ def main() -> None:
         corpus_dir = os.environ.get("BENCH1M_CORPUS_DIR") or os.path.join(
             work, "corpus")
 
+        # BENCH1M_SLIM=1 replaces the html payload with a 1-byte
+        # placeholder (schema preserved): the build reads only
+        # url/text/lang (Parquet-pruned), so index numbers are
+        # unaffected, but the corpus shrinks ~3x — the difference
+        # between a 30M-doc probe fitting this host's disk or not.
+        slim = os.environ.get("BENCH1M_SLIM") == "1"
+
         def gen(batches):
             import pandas as pd  # noqa: F401
 
@@ -100,6 +109,8 @@ def main() -> None:
                         f"https://p{int(pid):03d}.example/{i:08x}"
                         for i in range(len(part))
                     ]
+                    if slim:
+                        part["html"] = [b"\x00"] * len(part)
                     yield part[["url", "warc_ts", "html", "text", "lang"]]
 
         (spark.range(N_PARTS).repartition(N_PARTS, "id")
@@ -306,9 +317,9 @@ def main() -> None:
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
-        ext_corpus = os.environ.get("BENCH1M_CORPUS_DIR")
-        if ext_corpus:
-            shutil.rmtree(ext_corpus, ignore_errors=True)
+        for ext in ("BENCH1M_CORPUS_DIR", "BENCH1M_LOCAL_DIR"):
+            if os.environ.get(ext):
+                shutil.rmtree(os.environ[ext], ignore_errors=True)
 
 
 if __name__ == "__main__":
