@@ -107,8 +107,9 @@ def delete_by_keys(index_dir: str, keys: list, gen: int | None = None) -> int:
 
 DV_UPDATES = "dv_updates"
 # overlay rows above this broadcast-join cap fall back to a shuffle join
-# (mirrors the searcher's 500k tombstone-broadcast cap)
-DV_BROADCAST_CAP = 500_000
+# (mirrors the searcher's RUCENE_TOMB_BCAST_CAP tombstone-broadcast cap;
+# see the sizing note there)
+DV_BROADCAST_CAP = int(os.environ.get("RUCENE_DV_BCAST_CAP", "4000000"))
 
 
 def update_doc_values(index_dir: str, col: str, updates: dict,

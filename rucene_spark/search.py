@@ -866,11 +866,21 @@ class IndexSearcher:
             # broadcast only while the tombstone set is small; above the
             # cap fall back to a shuffle anti-join (tombstones accumulate
             # unboundedly between merges — a broadcast would not); the
-            # count is footer-metadata only, through the storage seam
+            # count is footer-metadata only, through the storage seam.
+            # Cap sizing (RUCENE_TOMB_BCAST_CAP): 4M (key, gen) rows is
+            # ~64 MiB broadcast / a few hundred MiB of transient driver
+            # state in _tomb_by_seg — comfortably inside an 8 GiB
+            # executor. The original 500k cap was the 30M-doc probe's
+            # one cliff (BENCH_30M.json: 2% deletes = 600k tombstones
+            # tripped the shuffle path, post-merge term query 1.1s →
+            # 20.5s warm); above the cap, sustained delete-heavy
+            # workloads should merge (which folds tombstones) rather
+            # than serve through the anti-join forever.
             n_tomb = sum(
                 storage.parquet_num_rows(os.path.join(tomb_dir, f))
                 for f in storage.listdir(tomb_dir) if f.endswith(".parquet"))
-            self._bcast_deleted = n_tomb <= 500_000
+            self._bcast_deleted = n_tomb <= int(
+                os.environ.get("RUCENE_TOMB_BCAST_CAP", "4000000"))
             tomb = spark.read.parquet(tomb_dir)
             if "gen" not in tomb.columns:
                 tomb = tomb.withColumn("gen", F.lit(1 << 62))
@@ -989,9 +999,10 @@ class IndexSearcher:
     def _tomb_by_seg(self) -> dict[int, np.ndarray]:
         """Resolved tombstones as per-segment sorted doc-id arrays, for the
         collector kernel's in-worker live-docs mask.  Only called when the
-        broadcast gate held (≤500k tombstones), so the driver materializes
-        at most that many (seg, doc) pairs — the same bound the broadcast
-        anti-join already implies."""
+        broadcast gate held (RUCENE_TOMB_BCAST_CAP, default 4M
+        tombstones), so the driver materializes at most that many
+        (seg, doc) pairs — the same bound the broadcast anti-join
+        already implies."""
         if self._deleted is None:
             return {}
         if self._tomb_cache is None:
@@ -1479,7 +1490,7 @@ class IndexSearcher:
         order restricted to one segment is the segment's own order, so the
         global top-k is a subset of the union of per-segment top-k's.
         Tombstones are masked in-worker (per-seg sorted arrays; only built
-        under the 500k broadcast gate) BEFORE ranks are assigned, exactly
+        under the RUCENE_TOMB_BCAST_CAP broadcast gate) BEFORE ranks are assigned, exactly
         like the anti-join path.  Score arithmetic reuses the gather
         expansion + IEEE op order of the batch kernel, and stage sums run
         in scan order via stable lexsort, so scores stay bit-identical to
