@@ -1006,12 +1006,29 @@ class IndexSearcher:
         if self._deleted is None:
             return {}
         if self._tomb_cache is None:
-            by_seg: dict[int, list] = {}
-            for r in self._deleted.collect():
-                by_seg.setdefault(int(r["seg"]), []).append(int(r["doc"]))
+            # Arrow-batched transfer: at the 4M-row cap a py4j
+            # row-at-a-time collect costs tens of seconds; toPandas
+            # under Arrow moves the two int columns in columnar
+            # batches. The conf flip is runtime-scoped and restored —
+            # sessions that keep Arrow off elsewhere are unaffected.
+            conf = self.spark.conf
+            key = "spark.sql.execution.arrow.pyspark.enabled"
+            prev = conf.get(key, "false")
+            conf.set(key, "true")
+            try:
+                pdf = self._deleted.toPandas()
+            finally:
+                conf.set(key, prev)
+            segs = pdf["seg"].to_numpy(dtype=np.int64)
+            docs = pdf["doc"].to_numpy(dtype=np.int64)
+            order = np.lexsort((docs, segs))
+            segs, docs = segs[order], docs[order]
+            bounds = np.flatnonzero(np.diff(segs)) + 1
             self._tomb_cache = {
-                s: np.unique(np.asarray(v, dtype=np.int64))
-                for s, v in by_seg.items()}
+                int(chunk_segs[0]): np.unique(chunk_docs)
+                for chunk_segs, chunk_docs in zip(
+                    np.split(segs, bounds), np.split(docs, bounds))
+                if chunk_segs.size}
         return self._tomb_cache
 
     def warmup(self) -> "IndexSearcher":
